@@ -1,0 +1,11 @@
+from attention_models_tpu.parallel.mesh import (
+    create_mesh,
+    batch_sharding,
+    replicated_sharding,
+    runtime_init,
+)
+from attention_models_tpu.parallel.sharding import (
+    DEFAULT_PARAM_RULES,
+    param_shardings,
+    shard_pytree,
+)

@@ -1,0 +1,57 @@
+"""Device mesh construction and runtime init.
+
+Replaces the reference's entire distributed story (HF Accelerate wrapping
+torch.distributed/NCCL — /root/reference/trainers/utils/base_trainer.py:29-39)
+with a named JAX mesh: data parallelism shards the batch over the ``data``
+axis, tensor/expert parallelism shards weight matrices over the ``model``
+axis. XLA GSPMD inserts the collectives (psum / all-gather / reduce-scatter),
+which ride ICI within a slice.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def runtime_init() -> None:
+    """Initialize multi-process JAX if launched under a multi-host runtime.
+
+    Single-process (one host driving 1..N chips) needs no init; multi-host
+    TPU pods set the coordinator env vars. Safe to call unconditionally.
+    """
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+        jax.distributed.initialize()
+
+
+def create_mesh(
+    data: int = -1,
+    model: int = 1,
+    devices=None,
+) -> Mesh:
+    """Create a 2-D ``(data, model)`` mesh. ``data=-1`` means "all remaining
+    devices". A mesh is always 2-D so train steps can be written once and run
+    at any dp×tp split."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data == -1:
+        if n % model != 0:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    return jax.make_mesh((data, model), (DATA_AXIS, MODEL_AXIS), devices=devices)
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis, replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,88 @@
+"""Path-regex parameter sharding rules (the GSPMD recipe).
+
+Instead of entangling every module with partitioning metadata, parameters are
+assigned ``PartitionSpec``s by matching their pytree path against a rule
+table. Under ``jax.jit`` with these shardings, XLA inserts the tensor/expert
+parallel collectives automatically.
+
+Conventions baked into the model zoo (see models/):
+  - attention projections are named ``wq`` / ``wkv`` / ``wk`` / ``wo``
+  - GEGLU FFN denses are ``ff_in`` / ``ff_out``
+  - MoE expert banks are stacked 3-D params named ``experts_*`` with the
+    expert dim leading
+so the default rules below implement head-sharded TP and expert parallelism
+over the ``model`` axis with everything else replicated.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Sequence
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from attention_models_tpu.parallel.mesh import MODEL_AXIS
+
+# (path regex, PartitionSpec). First match wins; no match -> replicated.
+# Paths look like "encoder/layers_0/self_attn/wq/kernel".
+DEFAULT_PARAM_RULES: list[tuple[str, P]] = [
+    # attention: shard heads (output dim of q/k/v, input dim of o)
+    (r".*/(wq|wkv|wk|wv)/kernel$", P(None, MODEL_AXIS)),
+    (r".*/wo/kernel$", P(MODEL_AXIS, None)),
+    # GEGLU / MLP: shard the inner dim
+    (r".*/(ff_in|mlp_in)/kernel$", P(None, MODEL_AXIS)),
+    (r".*/(ff_out|mlp_out)/kernel$", P(MODEL_AXIS, None)),
+    # stacked expert banks (E, d_in, d_out): expert parallelism
+    (r".*/experts_\w+$", P(MODEL_AXIS, None, None)),
+]
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if isinstance(p, jax.tree_util.DictKey):
+            parts.append(str(p.key))
+        elif isinstance(p, jax.tree_util.SequenceKey):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def param_shardings(
+    params: Any,
+    mesh: Mesh,
+    rules: Sequence[tuple[str, P]] | None = None,
+) -> Any:
+    """Return a pytree of NamedShardings matching ``params``' structure."""
+    rules = DEFAULT_PARAM_RULES if rules is None else rules
+    compiled = [(re.compile(rx), spec) for rx, spec in rules]
+
+    def assign(path, leaf):
+        ps = _path_str(path)
+        for rx, spec in compiled:
+            if rx.match(ps):
+                # only apply if the spec rank fits and the sharded dims divide
+                if len(spec) <= leaf.ndim and _divisible(leaf, spec, mesh):
+                    return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def _divisible(leaf, spec: P, mesh: Mesh) -> bool:
+    for dim, axis in enumerate(spec):
+        if axis is None:
+            continue
+        if leaf.shape[dim] % mesh.shape[axis] != 0:
+            return False
+    return True
+
+
+def shard_pytree(tree: Any, shardings: Any) -> Any:
+    """Place a pytree onto devices according to a matching shardings tree."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s), tree, shardings,
+        is_leaf=lambda x: x is None,
+    )

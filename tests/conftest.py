@@ -1,0 +1,16 @@
+"""Test configuration: force an 8-device virtual CPU platform so data/tensor/
+expert-parallel code paths are exercised without TPU hardware (the rebuild's
+replacement for the reference's untested multi-node story — SURVEY.md §4)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
