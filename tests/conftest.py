@@ -1,6 +1,11 @@
 """Test configuration: force an 8-device virtual CPU platform so data/tensor/
 expert-parallel code paths are exercised without TPU hardware (the rebuild's
-replacement for the reference's untested multi-node story — SURVEY.md §4)."""
+replacement for the reference's untested multi-node story — SURVEY.md §4).
+
+Note: the environment may pre-import jax with a TPU platform pinned via env
+vars, so we override through jax.config (which wins as long as no backend has
+been initialized yet) rather than os.environ.
+"""
 
 import os
 
@@ -13,4 +18,6 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
