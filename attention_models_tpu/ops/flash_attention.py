@@ -1,0 +1,199 @@
+"""Blockwise flash attention for TPU (Pallas / Mosaic).
+
+Online-softmax attention that never materializes the (tq, tk) score matrix in
+HBM — the TPU-native replacement for the reference's naive einsum+softmax
+(/root/reference/models/softmax_attention.py:62-76). Written blockwise from
+day one so a ring/context-parallel mesh axis can be threaded through later
+(SURVEY.md §5 "long-context").
+
+Forward is a Pallas kernel; backward is a custom VJP that recomputes
+attention with the mathematically-identical XLA path and differentiates that
+(rematerialization: trades FLOPs for HBM, the standard TPU recipe).
+
+Supports self- and cross-attention with an optional causal mask. Keep-style
+kv masks fall back to the XLA path at the dispatch layer (models/attention).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from attention_models_tpu.ops.attention import make_causal_mask, multihead_attention
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(
+    q_ref,  # (1, block_q, d)
+    k_ref,  # (1, tk, d)
+    v_ref,  # (1, tk, d)
+    o_ref,  # (1, block_q, d)
+    *,
+    scale: float,
+    causal: bool,
+    block_k: int,
+    tq: int,
+    tk: int,
+):
+    block_q = q_ref.shape[1]
+    d = q_ref.shape[2]
+    q_idx = pl.program_id(1)
+
+    q = q_ref[0].astype(jnp.float32) * scale  # (bq, d)
+
+    num_k_blocks = pl.cdiv(tk, block_k)
+    if causal:
+        # rows of this q block attend to cols <= row + (tk - tq)
+        max_col = (q_idx + 1) * block_q + (tk - tq)
+        num_k_blocks = (jnp.minimum(max_col, tk) + block_k - 1) // block_k
+
+    def body(kb, carry):
+        acc, m_prev, l_prev = carry
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, bk)
+        if causal:
+            rows = q_idx * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            cols = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            s = jnp.where(cols > rows + (tk - tq), NEG_INF, s)
+
+        m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)  # (bq, bk)
+        alpha = jnp.exp(m_prev - m_new)  # (bq, 1)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v_blk,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, m_new, l_new
+
+    init = (
+        jnp.zeros((block_q, d), jnp.float32),
+        jnp.full((block_q, 1), NEG_INF, jnp.float32),
+        jnp.zeros((block_q, 1), jnp.float32),
+    )
+    acc, _, l = jax.lax.fori_loop(0, num_k_blocks, body, init)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def _pick_block(t: int, pref: int) -> int:
+    """Largest block size <= pref that divides t (blocks must tile exactly so
+    no softmax column reads padding garbage)."""
+    for cand in (pref, 512, 256, 128, 64, 32, 16, 8):
+        if cand <= pref and t % cand == 0:
+            return cand
+    raise ValueError(f"sequence length {t} has no supported block tiling")
+
+
+def _flash_forward(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    *, scale: float, causal: bool, block_q: int, block_k: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    bq = _pick_block(tq, block_q)
+    bk = _pick_block(tk, block_k)
+
+    qf = q.reshape(b * h, tq, d)
+    kf = k.reshape(b * h, tk, d)
+    vf = v.reshape(b * h, tk, d)
+
+    grid = (b * h, pl.cdiv(tq, bq))
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, causal=causal, block_k=bk, tq=tq, tk=tk
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * tq * tk * d,
+            bytes_accessed=(qf.size + kf.size + vf.size) * q.dtype.itemsize,
+            transcendentals=b * h * tq * tk,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, h, tq, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _flash(causal, scale, block_q, block_k, interpret, q, k, v):
+    return _flash_forward(
+        q, k, v, scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+        interpret=interpret,
+    )
+
+
+def _flash_fwd(causal, scale, block_q, block_k, interpret, q, k, v):
+    out = _flash(causal, scale, block_q, block_k, interpret, q, k, v)
+    return out, (q, k, v)
+
+
+def _flash_bwd(causal, scale, block_q, block_k, interpret, res, g):
+    q, k, v = res
+
+    def ref(q, k, v):
+        cm = make_causal_mask(q.shape[2], k.shape[2]) if causal else None
+        return multihead_attention(q, k, v, scale=scale, causal_mask=cm)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float | None = None,
+    causal: bool = False,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention over (b, h, t, d) tensors. Differentiable."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    return _flash(causal, scale, block_q, block_k, interpret, q, k, v)
+
+
+def flash_supported(
+    q_shape: tuple, k_shape: tuple, platform: str | None = None
+) -> bool:
+    """Dispatch predicate: Pallas TPU kernels only on TPU-like backends; seq
+    lens must be >= 2 sublanes to be worth the call."""
+    if platform is None:
+        platform = jax.default_backend()
+    if platform not in ("tpu", "axon"):
+        return False
+    return q_shape[2] >= 128 and k_shape[2] >= 128

@@ -1,0 +1,141 @@
+"""Vectorized top-k expert dispatch.
+
+The reference routes tokens with Python loops over experts and
+``torch.where`` index scatters (/root/reference/models/moe.py:31-36,
+switchhead_attention.py:58-88) — serial and host-shaped. Here routing is a
+dense one-hot combine (small expert counts) or a capacity-bucketed gather
+dispatch (large expert counts), both single fused XLA programs that map onto
+the MXU, and shardable over the ``model`` mesh axis for expert parallelism.
+
+Gate semantics match the reference exactly: ``topk`` of the gate logits, with
+combine weights ``sigmoid(topk values)`` (or no weights at all — the
+SwitchHead ``moe_out`` quirk, SURVEY.md §2.9#8 — via ``weights=None``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def topk_gate(gate_logits: jnp.ndarray, k: int):
+    """Returns (weights, selected) like torch.topk + sigmoid:
+    values sorted descending, ties to the lower index."""
+    vals, idx = jax.lax.top_k(gate_logits, k)
+    return jax.nn.sigmoid(vals).astype(gate_logits.dtype), idx
+
+
+def _combine_weights(
+    selected: jnp.ndarray,  # (..., k) int
+    weights: jnp.ndarray | None,  # (..., k) or None
+    num_experts: int,
+) -> jnp.ndarray:
+    """Per-token combine vector over experts: (..., E)."""
+    one_hot = jax.nn.one_hot(selected, num_experts, dtype=jnp.float32)
+    if weights is None:
+        # unweighted accumulation; a token selecting the same expert twice
+        # accumulates it twice, matching the reference's `+=` scatter.
+        return jnp.sum(one_hot, axis=-2)
+    return jnp.einsum("...ke,...k->...e", one_hot, weights.astype(jnp.float32))
+
+
+def moe_linear_dense(
+    x: jnp.ndarray,  # (..., d_in)
+    w: jnp.ndarray,  # (E, d_in, d_out)
+    selected: jnp.ndarray,  # (..., k)
+    weights: jnp.ndarray | None = None,  # (..., k)
+    b: jnp.ndarray | None = None,  # (E, d_out)
+) -> jnp.ndarray:
+    """Dense dispatch: every expert runs on every token, masked combine.
+
+    FLOP cost is E× the routed cost — the right trade on MXUs when E is small
+    (SwitchHead's 5) because it is one big batched matmul with zero data
+    movement."""
+    combine = _combine_weights(selected, weights, w.shape[0])  # (..., E)
+    y = jnp.einsum(
+        "...d,edh->...eh", x.astype(jnp.float32), w.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    out = jnp.einsum("...eh,...e->...h", y, combine)
+    return out.astype(x.dtype)
+
+
+def moe_linear_scatter(
+    x: jnp.ndarray,  # (..., d_in)
+    w: jnp.ndarray,  # (E, d_in, d_out)
+    selected: jnp.ndarray,  # (..., k)
+    weights: jnp.ndarray | None = None,
+    b: jnp.ndarray | None = None,
+    capacity_factor: float | None = None,
+) -> jnp.ndarray:
+    """Capacity-bucketed dispatch: tokens are gathered into per-expert
+    buckets, each expert runs one (C, d_in)@(d_in, d_out) matmul, results are
+    combined back. Routed FLOPs only — the right trade for large E (ViTMoE's
+    32). ``capacity_factor=None`` sizes buckets for zero token dropping
+    (capacity = N·k, exact but memory-heavy); training configs set ~2.0."""
+    e = w.shape[0]
+    k = selected.shape[-1]
+    lead = x.shape[:-1]
+    d_in = x.shape[-1]
+    n = int(jnp.prod(jnp.array(lead))) if lead else 1
+    n = x.reshape(-1, d_in).shape[0]
+
+    xf = x.reshape(n, d_in)
+    sel = selected.reshape(n, k)
+    wts = None if weights is None else weights.reshape(n, k)
+
+    if capacity_factor is None:
+        capacity = n * k  # dropless worst case
+    else:
+        capacity = max(int(capacity_factor * n * k / e), 1)
+
+    # position of each (token, slot) within its expert bucket
+    sel_flat = sel.reshape(-1)  # (n*k,)
+    one_hot = jax.nn.one_hot(sel_flat, e, dtype=jnp.int32)  # (n*k, E)
+    pos_in_expert = jnp.cumsum(one_hot, axis=0) - 1  # running count
+    pos = jnp.take_along_axis(pos_in_expert, sel_flat[:, None], axis=-1)[:, 0]
+    keep = pos < capacity
+
+    # scatter tokens into (E, C, d_in)
+    buckets = jnp.zeros((e, capacity, d_in), x.dtype)
+    tok_ids = jnp.repeat(jnp.arange(n), k)
+    buckets = buckets.at[sel_flat, jnp.where(keep, pos, capacity - 1)].set(
+        jnp.where(keep[:, None], xf[tok_ids], 0), mode="drop"
+    )
+
+    y = jnp.einsum(
+        "ecd,edh->ech", buckets.astype(jnp.float32), w.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        y = y + b.astype(jnp.float32)[:, None, :]
+
+    # gather back: each (token, slot) reads y[expert, pos]
+    out_slots = y[sel_flat, jnp.where(keep, pos, 0)]  # (n*k, d_out)
+    out_slots = jnp.where(keep[:, None], out_slots, 0)
+    if wts is not None:
+        out_slots = out_slots * wts.reshape(-1)[:, None].astype(jnp.float32)
+    out = jnp.sum(out_slots.reshape(n, k, -1), axis=1)
+    return out.reshape(*lead, -1).astype(x.dtype)
+
+
+def moe_linear(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    selected: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+    b: jnp.ndarray | None = None,
+    impl: str = "auto",
+    capacity_factor: float | None = None,
+) -> jnp.ndarray:
+    if impl == "auto":
+        impl = "dense" if w.shape[0] <= 8 else "scatter"
+    if impl == "dense":
+        return moe_linear_dense(x, w, selected, weights, b)
+    if impl == "scatter":
+        return moe_linear_scatter(
+            x, w, selected, weights, b, capacity_factor=capacity_factor
+        )
+    raise ValueError(f"unknown moe impl {impl!r}")

@@ -1,0 +1,101 @@
+"""Sampling and masking ops for the token-space generators.
+
+Matches the reference's semantics (with fixes noted):
+
+- ``cosine_schedule``: cos(t·π/2) (/root/reference/models/muse.py:17-18).
+- ``filter_logits``: despite the top-p name, the reference keeps the top
+  ``ceil((1-p)·C)`` classes by *count* (/root/reference/models/muse.py:20-26)
+  — i.e. top-k with k derived from p. Reproduced exactly.
+- ``gumbel_argmax``: the reference samples via
+  ``gumbel_softmax(logits, tau).argmax()``; argmax((x+g)/τ) is τ-invariant,
+  so its temperature annealing is a no-op (and τ=0 at the final step divides
+  by zero). We implement the *intent* (google-research/maskgit): noise scaled
+  by temperature, ``argmax(logits + τ·gumbel)``, so τ→0 anneals to greedy.
+  Documented deviation (SURVEY.md §2.9 resolution policy).
+- ``random_mask``: Muse's vectorized cosine-schedule masking
+  (/root/reference/models/muse.py:136-151), which also fixes MaskGIT's
+  ``torch.random(b)`` crash (§2.9#2).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def cosine_schedule(t: jnp.ndarray) -> jnp.ndarray:
+    return jnp.cos(t * (math.pi / 2))
+
+
+def filter_logits(logits: jnp.ndarray, p: float = 0.9) -> jnp.ndarray:
+    """Keep the top ceil((1-p)·C) classes, fill the rest with -inf."""
+    n_classes = logits.shape[-1]
+    k = math.ceil((1 - p) * n_classes)
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits >= kth, logits, -jnp.inf)
+
+
+def gumbel_argmax(
+    key: jax.Array, logits: jnp.ndarray, temperature: jnp.ndarray | float = 1.0
+) -> jnp.ndarray:
+    """argmax(logits + temperature · Gumbel noise) over the last axis."""
+    g = jax.random.gumbel(key, logits.shape, dtype=jnp.float32)
+    noised = logits.astype(jnp.float32) + jnp.asarray(temperature, jnp.float32) * g
+    return jnp.argmax(noised, axis=-1).astype(jnp.int32)
+
+
+def random_mask(
+    key: jax.Array, batch: int, seq_len: int
+) -> jnp.ndarray:
+    """Training-time mask: per-sample uniform timestep -> cosine mask rate ->
+    mask the ``round(rate·seq_len)`` (min 1) tokens of a random permutation.
+    Returns bool (batch, seq_len), True = masked."""
+    t_key, perm_key = jax.random.split(key)
+    timesteps = jax.random.uniform(t_key, (batch,))
+    mask_prob = jnp.clip(cosine_schedule(timesteps), 0.0, None)
+    num_masked = jnp.clip(jnp.round(seq_len * mask_prob), 1, None)  # (b,)
+    rand = jax.random.uniform(perm_key, (batch, seq_len))
+    ranks = jnp.argsort(jnp.argsort(rand, axis=-1), axis=-1)  # rank of each pos
+    return ranks < num_masked[:, None]
+
+
+def mask_fill_inputs_and_targets(
+    indices: jnp.ndarray,  # (b, n) int
+    mask: jnp.ndarray,  # (b, n) bool
+    mask_token_id: int,
+    ignore_index: int = -1,
+):
+    """input = indices with masked positions -> mask token;
+    target = indices with *unmasked* positions -> ignore_index
+    (/root/reference/models/muse.py:147-150)."""
+    inputs = jnp.where(mask, mask_token_id, indices)
+    targets = jnp.where(mask, indices, ignore_index)
+    return inputs, targets
+
+
+def lowest_score_mask(
+    scores: jnp.ndarray,  # (b, n) float; lower = less confident
+    num_to_mask: jnp.ndarray,  # scalar int (traced ok)
+) -> jnp.ndarray:
+    """Mask the ``num_to_mask`` lowest-scoring positions per row — the
+    confidence re-masking step of MaskGIT/Muse decode
+    (/root/reference/models/muse.py:199-208). Ties break toward earlier
+    positions, matching argsort-stable torch behavior."""
+    ranks = jnp.argsort(jnp.argsort(scores, axis=-1, stable=True), axis=-1)
+    return ranks < num_to_mask
+
+
+def cross_entropy_ignore_index(
+    logits: jnp.ndarray,  # (b, n, c)
+    targets: jnp.ndarray,  # (b, n) int, ignore_index entries skipped
+    ignore_index: int = -1,
+) -> jnp.ndarray:
+    """Mean CE over non-ignored positions (torch F.cross_entropy semantics)."""
+    valid = targets != ignore_index
+    safe_targets = jnp.where(valid, targets, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)

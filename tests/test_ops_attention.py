@@ -1,0 +1,108 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from attention_models_tpu.ops.attention import make_causal_mask, multihead_attention
+from attention_models_tpu.ops.flash_attention import flash_attention
+
+
+def torch_reference_attention(q, k, v, scale, causal_mask=None, context_mask=None):
+    """The reference's exact math (softmax_attention.py:62-76) in torch."""
+    qt, kt, vt = map(torch.from_numpy, (q, k, v))
+    scores = torch.einsum("bhid,bhjd->bhij", qt * scale, kt)
+    if context_mask is not None:
+        cm = torch.from_numpy(context_mask)[:, None, None, :]
+        scores = scores.masked_fill(~cm, -1e9)
+    if causal_mask is not None:
+        scores = scores.masked_fill(torch.from_numpy(causal_mask), -1e9)
+    probs = torch.softmax(scores, dim=-1)
+    return torch.einsum("bhij,bhjd->bhid", probs, vt).numpy()
+
+
+def _rand(*shape, seed=0):
+    return np.random.RandomState(seed).randn(*shape).astype(np.float32)
+
+
+def test_plain_attention_matches_torch():
+    q, k, v = _rand(2, 4, 16, 8, seed=0), _rand(2, 4, 16, 8, seed=1), _rand(2, 4, 16, 8, seed=2)
+    out = multihead_attention(jnp.array(q), jnp.array(k), jnp.array(v), scale=8 ** -0.5)
+    ref = torch_reference_attention(q, k, v, 8 ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_causal_and_context_masks_match_torch():
+    q = _rand(2, 2, 8, 4, seed=3)
+    k = _rand(2, 2, 10, 4, seed=4)
+    v = _rand(2, 2, 10, 4, seed=5)
+    causal = np.asarray(make_causal_mask(8, 10))
+    # torch triu convention check: same construction as transformer.py:168
+    torch_causal = torch.ones((8, 10), dtype=torch.bool).triu(10 - 8 + 1).numpy()
+    np.testing.assert_array_equal(causal, torch_causal)
+
+    ctx = np.random.RandomState(6).rand(2, 10) > 0.3
+    out = multihead_attention(
+        jnp.array(q), jnp.array(k), jnp.array(v), scale=0.5,
+        causal_mask=jnp.array(causal), context_mask=jnp.array(ctx),
+    )
+    ref = torch_reference_attention(q, k, v, 0.5, causal_mask=causal, context_mask=ctx)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_flash_matches_xla_self_attention():
+    q, k, v = (_rand(2, 4, 256, 64, seed=s) for s in (7, 8, 9))
+    scale = 64 ** -0.5
+    out_flash = flash_attention(
+        jnp.array(q), jnp.array(k), jnp.array(v), scale=scale, interpret=True
+    )
+    out_ref = multihead_attention(jnp.array(q), jnp.array(k), jnp.array(v), scale=scale)
+    np.testing.assert_allclose(
+        np.asarray(out_flash), np.asarray(out_ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_flash_causal_matches_xla():
+    q, k, v = (_rand(1, 2, 256, 32, seed=s) for s in (10, 11, 12))
+    scale = 32 ** -0.5
+    out_flash = flash_attention(
+        jnp.array(q), jnp.array(k), jnp.array(v), scale=scale, causal=True,
+        block_q=128, block_k=128, interpret=True,
+    )
+    cm = make_causal_mask(256, 256)
+    out_ref = multihead_attention(
+        jnp.array(q), jnp.array(k), jnp.array(v), scale=scale, causal_mask=cm
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_flash), np.asarray(out_ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_flash_cross_attention_different_lengths():
+    q = _rand(1, 2, 128, 32, seed=13)
+    k = _rand(1, 2, 256, 32, seed=14)
+    v = _rand(1, 2, 256, 32, seed=15)
+    out_flash = flash_attention(
+        jnp.array(q), jnp.array(k), jnp.array(v), scale=0.2,
+        block_q=64, block_k=128, interpret=True,
+    )
+    out_ref = multihead_attention(jnp.array(q), jnp.array(k), jnp.array(v), scale=0.2)
+    np.testing.assert_allclose(
+        np.asarray(out_flash), np.asarray(out_ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_flash_gradients_match_xla():
+    q, k, v = (jnp.array(_rand(1, 2, 128, 32, seed=s)) for s in (16, 17, 18))
+    scale = 32 ** -0.5
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, scale=scale, interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(multihead_attention(q, k, v, scale=scale) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)

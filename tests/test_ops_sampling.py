@@ -1,0 +1,91 @@
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from attention_models_tpu.ops.sampling import (
+    cosine_schedule,
+    cross_entropy_ignore_index,
+    filter_logits,
+    gumbel_argmax,
+    lowest_score_mask,
+    mask_fill_inputs_and_targets,
+    random_mask,
+)
+
+
+def torch_filter_logits(logits, p=0.9):
+    """/root/reference/models/muse.py:20-26"""
+    lt = torch.from_numpy(logits)
+    n_classes = lt.shape[-1]
+    k = math.ceil((1 - p) * n_classes)
+    val, ind = lt.topk(k, dim=-1)
+    filtered = torch.full_like(lt, float("-inf"))
+    filtered.scatter_(2, ind, val)
+    return filtered.numpy()
+
+
+def test_filter_logits_matches_torch():
+    logits = np.random.RandomState(0).randn(2, 5, 100).astype(np.float32)
+    ours = np.asarray(filter_logits(jnp.array(logits), p=0.9))
+    ref = torch_filter_logits(logits, p=0.9)
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_cosine_schedule():
+    t = jnp.array([0.0, 0.5, 1.0])
+    got = np.asarray(cosine_schedule(t))
+    np.testing.assert_allclose(got, [1.0, math.cos(math.pi / 4), 0.0], atol=1e-6)
+
+
+def test_gumbel_argmax_greedy_at_zero_temperature():
+    logits = jnp.array(np.random.RandomState(1).randn(4, 10, 50).astype(np.float32))
+    ids = gumbel_argmax(jax.random.key(0), logits, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(ids), np.argmax(np.asarray(logits), -1))
+
+
+def test_gumbel_argmax_samples_at_high_temperature():
+    logits = jnp.zeros((1, 1, 100))
+    ids = [
+        int(gumbel_argmax(jax.random.key(i), logits, 1.0)[0, 0]) for i in range(20)
+    ]
+    assert len(set(ids)) > 5  # actually random
+
+
+def test_random_mask_rate_and_minimum():
+    mask = random_mask(jax.random.key(0), 64, 256)
+    per_row = np.asarray(mask).sum(axis=1)
+    assert per_row.min() >= 1
+    # cosine schedule of uniform t averages 2/pi ≈ 0.63
+    assert 0.4 < per_row.mean() / 256 < 0.85
+
+
+def test_mask_fill_inputs_and_targets():
+    idx = jnp.array([[5, 6, 7, 8]])
+    mask = jnp.array([[True, False, True, False]])
+    inp, tgt = mask_fill_inputs_and_targets(idx, mask, mask_token_id=99)
+    np.testing.assert_array_equal(np.asarray(inp), [[99, 6, 99, 8]])
+    np.testing.assert_array_equal(np.asarray(tgt), [[5, -1, 7, -1]])
+
+
+def test_lowest_score_mask():
+    scores = jnp.array([[0.5, 0.1, 0.9, 0.1]])
+    mask = lowest_score_mask(scores, jnp.array(2))
+    # two lowest: positions 1 and 3 (tie at 0.1 resolved stably)
+    np.testing.assert_array_equal(np.asarray(mask), [[False, True, False, True]])
+
+
+def test_cross_entropy_ignore_index_matches_torch():
+    rs = np.random.RandomState(2)
+    logits = rs.randn(2, 6, 11).astype(np.float32)
+    targets = rs.randint(0, 11, (2, 6))
+    targets[0, :3] = -1
+    ours = float(cross_entropy_ignore_index(jnp.array(logits), jnp.array(targets)))
+    ref = torch.nn.functional.cross_entropy(
+        torch.from_numpy(logits).permute(0, 2, 1),
+        torch.from_numpy(targets),
+        ignore_index=-1,
+    ).item()
+    assert abs(ours - ref) < 1e-5
