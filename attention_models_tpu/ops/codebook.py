@@ -30,36 +30,35 @@ def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndar
     return x / jnp.maximum(norm, eps)
 
 
-def _nn_kernel(z_ref, codes_ref, idx_ref, *, block_codes: int, num_codes: int):
-    # z_ref: (block_n, d); codes_ref: (K, d); idx_ref: (1, block_n) int32
-    z = z_ref[:].astype(jnp.float32)
-    block_n = z.shape[0]
+def _nn_kernel(zt_ref, codes_t_ref, idx_ref, best_d_ref, *, block_codes: int):
+    # grid (n/bn, k/bk); the code-chunk axis is the minor (sequential) grid
+    # dim, so per-token running (min, argmin) accumulates in VMEM scratch.
+    # Inputs come in transposed (d, ·) layout: with codebook_dim ~32 < the
+    # 128-lane tile, a (·, d) layout would pad every buffer 4x in VMEM.
+    # zt_ref: (d, bn); codes_t_ref: (d, bk); idx_ref/best_d_ref: (bn, 1)
+    cb = pl.program_id(1)
 
-    num_chunks = num_codes // block_codes
+    @pl.when(cb == 0)
+    def _():
+        best_d_ref[:] = jnp.full_like(best_d_ref, jnp.inf)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
 
-    def body(cb, carry):
-        best_d, best_i = carry
-        chunk = codes_ref[pl.ds(cb * block_codes, block_codes), :].astype(
-            jnp.float32
-        )  # (bk, d)
-        e_sq = jnp.sum(chunk * chunk, axis=-1)[None, :]  # (1, bk)
-        dots = jax.lax.dot_general(
-            z, chunk,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (bn, bk)
-        d = e_sq - 2.0 * dots
-        local_min = jnp.min(d, axis=-1)  # (bn,)
-        local_arg = jnp.argmin(d, axis=-1).astype(jnp.int32) + cb * block_codes
-        upd = local_min < best_d  # strict: earlier chunk wins ties
-        return jnp.where(upd, local_min, best_d), jnp.where(upd, local_arg, best_i)
-
-    init = (
-        jnp.full((block_n,), jnp.inf, jnp.float32),
-        jnp.zeros((block_n,), jnp.int32),
+    zt = zt_ref[:].astype(jnp.float32)  # (d, bn)
+    ct = codes_t_ref[:].astype(jnp.float32)  # (d, bk)
+    e_sq = jnp.sum(ct * ct, axis=0)[None, :]  # (1, bk)
+    dots = jax.lax.dot_general(
+        zt, ct,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bn, bk)
+    d = e_sq - 2.0 * dots
+    local_min = jnp.min(d, axis=-1, keepdims=True)  # (bn, 1)
+    local_arg = (
+        jnp.argmin(d, axis=-1, keepdims=True).astype(jnp.int32) + cb * block_codes
     )
-    _, best_i = jax.lax.fori_loop(0, num_chunks, body, init)
-    idx_ref[0, :] = best_i
+    upd = local_min < best_d_ref[:]  # strict: earlier chunk wins ties
+    best_d_ref[:] = jnp.where(upd, local_min, best_d_ref[:])
+    idx_ref[:] = jnp.where(upd, local_arg, idx_ref[:])
 
 
 def _nearest_codes_pallas(
@@ -74,23 +73,27 @@ def _nearest_codes_pallas(
     if k % bk:
         raise ValueError(f"codebook size {k} not divisible by block {bk}")
 
-    kernel = functools.partial(_nn_kernel, block_codes=bk, num_codes=k)
+    zt = z.T  # (d, n)
+    ct = codes.T  # (d, k)
+
+    kernel = functools.partial(_nn_kernel, block_codes=bk)
     out = pl.pallas_call(
         kernel,
-        grid=(n // bn,),
+        grid=(n // bn, k // bk),
         in_specs=[
-            pl.BlockSpec((bn, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, bk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bn), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((bn, 1), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n // bn, bn), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((bn, 1), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * n * k * d,
             bytes_accessed=(n * d + k * d + n) * 4,
             transcendentals=0,
         ),
-    )(z, codes)
+    )(zt, ct)
     return out.reshape(n)
 
 
@@ -108,8 +111,8 @@ def nearest_codes(
     z: jnp.ndarray,
     codes: jnp.ndarray,
     *,
-    block_n: int = 1024,
-    block_codes: int = 2048,
+    block_n: int = 512,
+    block_codes: int = 1024,
     use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """argmin_j ||z_i - e_j||² over a flattened (N, d) latent batch.
