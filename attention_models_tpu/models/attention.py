@@ -1,0 +1,267 @@
+"""Attention primitives: SoftmaxAttention, AgentAttention, SwitchHeadAttention.
+
+API parity with /root/reference/models/{softmax,agent,switchhead}_attention.py
+(same constructor knobs, same forward signature semantics), implemented on
+top of the ops layer: the XLA einsum path carries the reference's exact mask
+semantics and the Pallas flash kernel is dispatched to when masks allow.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from einops import rearrange
+
+from attention_models_tpu.ops.attention import multihead_attention
+from attention_models_tpu.ops.flash_attention import flash_attention, flash_supported
+from attention_models_tpu.ops.moe import _combine_weights, moe_linear_scatter, topk_gate
+
+
+def _dispatch_attention(
+    q, k, v, *, scale, causal, causal_mask, context_mask, use_flash
+):
+    """Flash kernel when only (optional) causal masking is needed and the
+    shapes tile; the reference-semantics XLA path otherwise."""
+    if use_flash is None:
+        use_flash = (
+            context_mask is None
+            and causal_mask is None  # explicit mask tensors go XLA
+            and flash_supported(q.shape, k.shape)
+        )
+    if use_flash:
+        return flash_attention(q, k, v, scale=scale, causal=causal)
+    if causal and causal_mask is None:
+        from attention_models_tpu.ops.attention import make_causal_mask
+
+        causal_mask = make_causal_mask(q.shape[2], k.shape[2])
+    return multihead_attention(
+        q, k, v, scale=scale, causal_mask=causal_mask, context_mask=context_mask
+    )
+
+
+class SoftmaxAttention(nn.Module):
+    """Standard MHA (softmax_attention.py:22-82): fused KV projection,
+    no-bias Q/KV, biased output projection, dropout on projections.
+
+    ``causal`` is the static jit-friendly form of the reference's runtime
+    causal_mask tensor; passing an explicit ``causal_mask`` still works."""
+
+    dim: int
+    num_heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    use_flash: bool | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        context=None,
+        causal_mask=None,
+        context_mask=None,
+        causal: bool = False,
+        deterministic: bool = True,
+    ):
+        h, d = self.num_heads, self.dim_head
+        q = nn.Dense(h * d, use_bias=False, dtype=self.dtype, name="wq")(x)
+        q = nn.Dropout(self.dropout)(q, deterministic=deterministic)
+        q = rearrange(q, "b t (h d) -> b h t d", h=h)
+
+        kv_src = x if context is None else context
+        kv = nn.Dense(2 * h * d, use_bias=False, dtype=self.dtype, name="wkv")(kv_src)
+        kv = nn.Dropout(self.dropout)(kv, deterministic=deterministic)
+        k, v = rearrange(kv, "b t (kv h d) -> kv b h t d", kv=2, h=h)
+
+        out = _dispatch_attention(
+            q, k, v,
+            scale=d ** -0.5,
+            causal=causal,
+            causal_mask=causal_mask,
+            context_mask=context_mask,
+            use_flash=self.use_flash,
+        )
+        out = rearrange(out, "b h t d -> b t (h d)")
+        out = nn.Dense(self.dim, dtype=self.dtype, name="wo")(out)
+        return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+
+
+def adaptive_avg_pool_1d(x: jnp.ndarray, out_size: int, axis: int) -> jnp.ndarray:
+    """torch AdaptiveAvgPool semantics along one axis:
+    cell i averages input[floor(i·L/out) : ceil((i+1)·L/out)]."""
+    length = x.shape[axis]
+    x = jnp.moveaxis(x, axis, -1)
+    pieces = []
+    for i in range(out_size):
+        start = (i * length) // out_size
+        end = -(-((i + 1) * length) // out_size)  # ceil
+        pieces.append(jnp.mean(x[..., start:end], axis=-1))
+    out = jnp.stack(pieces, axis=-1)
+    return jnp.moveaxis(out, -1, axis)
+
+
+class AgentAttention(nn.Module):
+    """Agent Attention (arXiv 2312.08874; agent_attention.py:21-79).
+
+    Agent tokens = adaptive-avg-pool of Q over the (t, h) plane to
+    (√a, √a); requires num_heads == int(agent_num**0.5) to type-check, as in
+    the reference (SURVEY.md §2.1). Two-stage attention plus a depthwise-conv
+    residual over the (heads, time) grid. ``context_mask`` accepted but
+    unused, matching the reference."""
+
+    dim: int
+    num_heads: int = 8
+    dim_head: int = 64
+    agent_num: int = 47
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context_mask=None, deterministic: bool = True):
+        h, d = self.num_heads, self.dim_head
+        scale = d ** -0.5
+        qkv = nn.Dense(3 * h * d, use_bias=False, dtype=self.dtype, name="wqkv")(x)
+        q, k, v = rearrange(qkv, "b t (qkv h d) -> qkv b h t d", qkv=3, h=h)
+
+        pool_size = int(self.agent_num ** 0.5)
+        # reference: pool q.permute(0,3,2,1) == (b, d, t, h) over (t, h),
+        # then permute back -> (b, pool, pool, d) read as (b, h', t', d)
+        q_p = jnp.transpose(q, (0, 3, 2, 1))  # (b, d, t, h)
+        agents = adaptive_avg_pool_1d(q_p, pool_size, axis=2)
+        agents = adaptive_avg_pool_1d(agents, pool_size, axis=3)
+        agents = jnp.transpose(agents, (0, 3, 2, 1))  # (b, pool, pool, d)
+
+        bias1 = self.param("bias1", nn.initializers.zeros, (1, 1, 1, 1), jnp.float32)
+        bias2 = self.param("bias2", nn.initializers.zeros, (1, 1, 1, 1), jnp.float32)
+
+        # stage 1 — agent aggregation: agents attend to K, V
+        s1 = jnp.einsum(
+            "bhid,bhjd->bhij", agents * scale, k,
+            preferred_element_type=jnp.float32,
+        ) + bias1
+        p1 = jax.nn.softmax(s1, axis=-1).astype(self.dtype)
+        v_agent = jnp.einsum("bhij,bhjd->bhid", p1, v)
+
+        # stage 2 — agent broadcast: Q attends to agents
+        s2 = jnp.einsum(
+            "bhid,bhjd->bhij", q * scale, agents,
+            preferred_element_type=jnp.float32,
+        ) + bias2
+        p2 = jax.nn.softmax(s2, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhij,bhjd->bhid", p2, v_agent)
+
+        # depthwise 3x3 conv residual over the (heads, time) grid, channels=d
+        dwc = self._dwc(v)
+        out = out + dwc
+
+        out = rearrange(out, "b h t d -> b t (h d)")
+        out = nn.Dense(self.dim, dtype=self.dtype, name="wo")(out)
+        return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+
+    def _dwc(self, v):
+        # v: (b, h, t, d) -> NHWC with spatial (h, t), channels d
+        x = jnp.transpose(v, (0, 1, 2, 3))  # (b, h, t, d) already NHWC
+        conv = nn.Conv(
+            features=self.dim_head,
+            kernel_size=(3, 3),
+            padding=((1, 1), (1, 1)),
+            feature_group_count=self.dim_head,
+            dtype=self.dtype,
+            name="dwc",
+        )
+        return conv(x)
+
+
+class SwitchHeadAttention(nn.Module):
+    """SwitchHead (arXiv 2312.07987; switchhead_attention.py:18-116): dense
+    per-head Q/K; V produced by top-k routed experts Linear(dim→d_head);
+    output projection routed through experts Linear(d_head→dim) and **summed
+    over heads**. Reference quirks preserved (SURVEY.md §2.9#8): the output
+    MoE's gate weights are computed but NOT applied (unweighted sum); the
+    V MoE's weights are sigmoid(topk logits).
+    """
+
+    dim: int
+    num_heads: int = 8
+    dim_head: int = 64
+    num_experts: int = 5
+    sel_experts: int = 2
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    moe_impl: str = "dense"  # "dense" | "scatter" for the output MoE
+    capacity_factor: float | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        context=None,
+        causal_mask=None,
+        context_mask=None,
+        causal: bool = False,
+        deterministic: bool = True,
+    ):
+        h, d, e = self.num_heads, self.dim_head, self.num_experts
+        q = nn.Dense(h * d, use_bias=False, dtype=self.dtype, name="wq")(x)
+        q = nn.Dropout(self.dropout)(q, deterministic=deterministic)
+        q = rearrange(q, "b t (h d) -> b h t d", h=h)
+
+        src = x if context is None else context
+        k = nn.Dense(h * d, use_bias=False, dtype=self.dtype, name="wk")(src)
+        k = nn.Dropout(self.dropout)(k, deterministic=deterministic)
+        k = rearrange(k, "b t (h d) -> b h t d", h=h)
+
+        # --- V MoE: per-head top-k routed value projection -------------------
+        ws = nn.Dense(h * e, use_bias=False, dtype=self.dtype, name="ws")(src)
+        gate_v = rearrange(ws, "b t (h e) -> b t h e", h=h)
+        wts_v, sel_v = topk_gate(gate_v, self.sel_experts)  # (b,t,h,k)
+        experts_v = self.param(
+            "experts_v",
+            nn.initializers.lecun_normal(),
+            (e, self.dim, d),
+            jnp.float32,
+        )
+        # expert outputs shared across heads: (b, t, E, d_head)
+        vx = jnp.einsum(
+            "btd,edh->bteh", src.astype(jnp.float32), experts_v,
+            preferred_element_type=jnp.float32,
+        )
+        combine_v = _combine_weights(sel_v, wts_v, e)  # (b, t, h, E)
+        v = jnp.einsum("bteh,btxe->btxh", vx, combine_v)  # x == heads
+        v = rearrange(v, "b t h d -> b h t d").astype(self.dtype)
+
+        out = _dispatch_attention(
+            q, k, v,
+            scale=d ** -0.5,
+            causal=causal,
+            causal_mask=causal_mask,
+            context_mask=context_mask,
+            use_flash=None,
+        )  # (b, h, t, d)
+        out = rearrange(out, "b h t d -> b t h d")
+
+        # --- output MoE: per-head routed Linear(d_head -> dim), UNWEIGHTED ---
+        wd = nn.Dense(h * e, use_bias=False, dtype=self.dtype, name="wd")(src)
+        gate_o = rearrange(wd, "b t (h e) -> b t h e", h=h)
+        _, sel_o = topk_gate(gate_o, self.sel_experts)
+        experts_out = self.param(
+            "experts_out",
+            nn.initializers.lecun_normal(),
+            (e, d, self.dim),
+            jnp.float32,
+        )
+        if self.moe_impl == "scatter":
+            y = moe_linear_scatter(
+                out, experts_out, sel_o, None,
+                capacity_factor=self.capacity_factor,
+            )  # (b, t, h, dim)
+        else:
+            ox = jnp.einsum(
+                "bthd,edD->btheD", out.astype(jnp.float32), experts_out,
+                preferred_element_type=jnp.float32,
+            )
+            combine_o = _combine_weights(sel_o, None, e)  # (b, t, h, E)
+            y = jnp.einsum("btheD,bthe->bthD", ox, combine_o)
+        # sum over heads (reference: output.sum(dim=-2))
+        return jnp.sum(y, axis=-2).astype(self.dtype)

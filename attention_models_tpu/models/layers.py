@@ -1,0 +1,150 @@
+"""Core layers shared across the model zoo.
+
+Faithful TPU-native re-implementations of the reference's building blocks:
+  - GammaLayerNorm: LayerNorm with learnable gamma and a frozen zero beta
+    (/root/reference/models/transformer.py:11-19).
+  - GEGLU + FeedForward: gated-GELU FFN with inner dim int(dim·mult·2/3)
+    (/root/reference/models/transformer.py:22-43). chunk order: the FIRST
+    half is gelu'd, the second half gates.
+  - Mlp: plain Linear→GELU→Linear used by ViT (vit.py:10-21) and — with the
+    xFormers hidden-dim rounding — by ViTVQGAN (vitvqgan.py:20-34, repaired
+    per SURVEY.md §2.9#1: the snapshot's class is broken; shapes follow the
+    xFormers MLP the signature was copied from).
+  - SinusoidalPositionalEncoding (positional_encoding.py:22-42) and
+    AbsolutePositionalEmbedding (positional_encoding.py:9-18).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from attention_models_tpu.ops.codebook import l2_normalize
+
+
+class GammaLayerNorm(nn.Module):
+    """LayerNorm with learnable scale only; bias frozen at zero."""
+
+    dim: int
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.ones, (self.dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mean) / jnp.sqrt(var + self.eps)
+        return (y * gamma).astype(self.dtype)
+
+
+class LayerNorm(nn.Module):
+    """Standard LayerNorm (learnable scale and bias), torch semantics."""
+
+    dim: int
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.ones, (self.dim,), jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (self.dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mean) / jnp.sqrt(var + self.eps)
+        return (y * gamma + beta).astype(self.dtype)
+
+
+def geglu(x: jnp.ndarray) -> jnp.ndarray:
+    """x, gate = chunk(2); gate * gelu(x) — note gelu on the FIRST half."""
+    a, gate = jnp.split(x, 2, axis=-1)
+    return gate * nn.gelu(a, approximate=False)
+
+
+class FeedForward(nn.Module):
+    """GEGLU FFN: Dense(2·inner, no bias) → GEGLU → GammaLayerNorm(inner) →
+    Dense(dim, no bias); inner = int(dim·mult·2/3)."""
+
+    dim: int
+    mult: float = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = int(self.dim * self.mult * 2 / 3)
+        h = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype, name="ff_in")(x)
+        h = geglu(h)
+        h = GammaLayerNorm(inner, dtype=self.dtype, name="norm")(h)
+        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="ff_out")(h)
+
+
+def xformers_hidden(hidden_features: int) -> int:
+    """ViTVQGAN FFN hidden width: (int(h·2/3)+7)//8·8 (vitvqgan.py:27)."""
+    return (int(hidden_features * 2 / 3) + 7) // 8 * 8
+
+
+class Mlp(nn.Module):
+    """Linear → activation → (dropout) → Linear → (dropout)."""
+
+    dim: int
+    hidden_dim: int
+    dropout: float = 0.0
+    use_bias: bool = True
+    act: Callable = lambda x: nn.gelu(x, approximate=False)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.Dense(self.hidden_dim, use_bias=self.use_bias, dtype=self.dtype,
+                     name="mlp_in")(x)
+        h = self.act(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.dim, use_bias=self.use_bias, dtype=self.dtype,
+                     name="mlp_out")(h)
+        return nn.Dropout(self.dropout)(h, deterministic=deterministic)
+
+
+class SinusoidalPositionalEncoding(nn.Module):
+    """Fixed sin/cos table added to the input, then dropout
+    (positional_encoding.py:22-42). The table is a constant, not a param."""
+
+    dim: int
+    dropout: float = 0.1
+    max_len: int = 5000
+    dtype: jnp.dtype = jnp.float32
+
+    def pe_table(self) -> jnp.ndarray:
+        position = jnp.arange(self.max_len, dtype=jnp.float32)[:, None]
+        div = jnp.exp(
+            jnp.arange(0, self.dim, 2, dtype=jnp.float32)
+            * (-math.log(10000.0) / self.dim)
+        )
+        pe = jnp.zeros((self.max_len, self.dim), jnp.float32)
+        pe = pe.at[:, 0::2].set(jnp.sin(position * div))
+        pe = pe.at[:, 1::2].set(jnp.cos(position * div))
+        return pe
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, offset: int = 0):
+        t = x.shape[1]
+        pe = self.pe_table()
+        x = x + pe[offset : offset + t].astype(x.dtype)
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+class AbsolutePositionalEmbedding(nn.Module):
+    """Learned position embedding, L2-normalized (positional_encoding.py:9-18).
+    Dead code in the reference; kept for API parity."""
+
+    dim: int
+    max_len: int
+
+    @nn.compact
+    def __call__(self, positions):
+        emb = nn.Embed(self.max_len, self.dim, name="emb")(positions)
+        return l2_normalize(emb)

@@ -1,0 +1,212 @@
+"""Pre-LN transformer backbone: Encoder / Decoder stacks and the seq2seq
+Transformer (API parity with /root/reference/models/transformer.py:49-228).
+
+Decode loops are bounded ``lax.scan``s with static shapes (the reference's
+unbounded ``while True`` with a batch-element-0 stop is resolved per
+SURVEY.md §2.9#9: per-sequence done mask, max_len bound).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from attention_models_tpu.models.attention import SoftmaxAttention
+from attention_models_tpu.models.layers import (
+    FeedForward,
+    GammaLayerNorm,
+    SinusoidalPositionalEncoding,
+)
+from attention_models_tpu.ops.sampling import gumbel_argmax
+
+
+class EncoderLayer(nn.Module):
+    dim: int
+    n_heads: int = 8
+    d_head: int = 64
+    mult: float = 4
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context_mask=None, deterministic: bool = True):
+        h = GammaLayerNorm(self.dim, dtype=self.dtype, name="norm1")(x)
+        x = x + SoftmaxAttention(
+            self.dim, self.n_heads, self.d_head, self.dropout,
+            dtype=self.dtype, name="self_attn",
+        )(h, context_mask=context_mask, deterministic=deterministic)
+        h = GammaLayerNorm(self.dim, dtype=self.dtype, name="norm2")(x)
+        x = x + FeedForward(self.dim, self.mult, dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class Encoder(nn.Module):
+    dim: int
+    n_heads: int = 8
+    d_head: int = 64
+    depth: int = 6
+    mult: float = 4
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, context_mask=None, deterministic: bool = True):
+        layer_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
+        for i in range(self.depth):
+            x = layer_cls(
+                self.dim, self.n_heads, self.d_head, self.mult, self.dropout,
+                dtype=self.dtype, name=f"layers_{i}",
+            )(x, context_mask, deterministic)
+        return x
+
+
+class DecoderLayer(nn.Module):
+    dim: int
+    n_heads: int = 8
+    d_head: int = 64
+    mult: float = 4
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x, context, context_mask=None, causal_mask=None,
+        causal: bool = False, deterministic: bool = True,
+    ):
+        h = GammaLayerNorm(self.dim, dtype=self.dtype, name="norm1")(x)
+        x = x + SoftmaxAttention(
+            self.dim, self.n_heads, self.d_head, self.dropout,
+            dtype=self.dtype, name="self_attn",
+        )(h, causal_mask=causal_mask, causal=causal, deterministic=deterministic)
+        h = GammaLayerNorm(self.dim, dtype=self.dtype, name="norm2")(x)
+        x = x + SoftmaxAttention(
+            self.dim, self.n_heads, self.d_head, self.dropout,
+            dtype=self.dtype, name="cross_attn",
+        )(h, context=context, context_mask=context_mask,
+          deterministic=deterministic)
+        h = GammaLayerNorm(self.dim, dtype=self.dtype, name="norm3")(x)
+        x = x + FeedForward(self.dim, self.mult, dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class Decoder(nn.Module):
+    """Self-attn (optionally causal) → cross-attn → FFN stack. With no causal
+    mask this is Muse's "bidirectional decoder" (SURVEY.md §2.2)."""
+
+    dim: int
+    n_heads: int = 8
+    d_head: int = 64
+    depth: int = 6
+    mult: float = 4
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self, dec_in, context, context_mask=None, causal_mask=None,
+        causal: bool = False, deterministic: bool = True,
+    ):
+        layer_cls = nn.remat(DecoderLayer) if self.remat else DecoderLayer
+        x = dec_in
+        for i in range(self.depth):
+            x = layer_cls(
+                self.dim, self.n_heads, self.d_head, self.mult, self.dropout,
+                dtype=self.dtype, name=f"layers_{i}",
+            )(x, context, context_mask, causal_mask, causal, deterministic)
+        return x
+
+
+class Transformer(nn.Module):
+    """Seq2seq encoder-decoder LM (transformer.py:138-228)."""
+
+    dim: int
+    vocab_size: int = 1000
+    n_heads: int = 8
+    d_head: int = 64
+    enc_depth: int = 6
+    dec_depth: int = 6
+    n_classes: int | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.enc_input_proj = nn.Embed(self.vocab_size, self.dim, dtype=self.dtype)
+        self.dec_input_proj = nn.Embed(self.vocab_size, self.dim, dtype=self.dtype)
+        self.pos_enc = SinusoidalPositionalEncoding(self.dim, dropout=0.1)
+        self.enc_init_norm = GammaLayerNorm(self.dim, dtype=self.dtype)
+        self.encoder = Encoder(
+            self.dim, self.n_heads, self.d_head, self.enc_depth, dtype=self.dtype
+        )
+        self.enc_final_norm = GammaLayerNorm(self.dim, dtype=self.dtype)
+        self.dec_init_norm = GammaLayerNorm(self.dim, dtype=self.dtype)
+        self.decoder = Decoder(
+            self.dim, self.n_heads, self.d_head, self.dec_depth, dtype=self.dtype
+        )
+        self.dec_final_norm = GammaLayerNorm(self.dim, dtype=self.dtype)
+        self.linear = nn.Dense(self.n_classes, dtype=self.dtype)
+
+    def encode(self, src_seq, context_mask=None, deterministic=True):
+        x = self.enc_input_proj(src_seq)
+        x = self.pos_enc(x, deterministic=deterministic)
+        x = self.enc_init_norm(x)
+        ctx = self.encoder(x, context_mask=context_mask,
+                           deterministic=deterministic)
+        return self.enc_final_norm(ctx)
+
+    def __call__(self, src_seq, tgt_seq, deterministic: bool = True):
+        # reference builds an all-True context mask + triu causal mask
+        # (transformer.py:165-174); all-True keep mask is the identity.
+        context = self.encode(src_seq, deterministic=deterministic)
+        x = self.dec_input_proj(tgt_seq)
+        x = self.pos_enc(x, deterministic=deterministic)
+        x = self.dec_init_norm(x)
+        x = self.decoder(x, context, causal=True, deterministic=deterministic)
+        x = self.dec_final_norm(x)
+        return self.linear(x)
+
+    def generate(
+        self,
+        src_seq,
+        rng: jax.Array,
+        max_len: int = 128,
+        start_token: int = 1,
+        end_token: int = 2,
+    ):
+        """AR decode as a bounded lax.scan. The reference (transformer.py:176-202)
+        re-forwards the growing sequence each step, samples
+        argmax(gumbel_softmax(logits[, -1])) and stops when batch element 0
+        emits ``end_token``; here every sequence carries a done-mask and the
+        loop is fixed-length (jit-compatible). Emits ``end_token`` padding
+        after completion."""
+        context = self.encode(src_seq)
+        b = src_seq.shape[0]
+
+        # fixed-size token buffer, position 0 = start token
+        tokens0 = jnp.full((b, max_len + 1), end_token, jnp.int32)
+        tokens0 = tokens0.at[:, 0].set(start_token)
+
+        def step(carry, rng_t):
+            tokens, done, t = carry
+            x = self.dec_input_proj(tokens)
+            x = self.pos_enc(x)
+            # reference generate() applies no init/final norms around the
+            # decoder (transformer.py:188-194) — kept
+            dec = self.decoder(x, context, causal=True)
+            logits = self.linear(dec)
+            # gather logits at position t (the last generated position)
+            last = jnp.take_along_axis(
+                logits, t[None, None, None].repeat(b, 0), axis=1
+            )[:, 0, :]
+            nxt = gumbel_argmax(rng_t, last, 1.0)
+            nxt_done = done | (nxt == end_token)
+            nxt_tok = jnp.where(done, end_token, nxt)
+            tokens = tokens.at[:, t + 1].set(nxt_tok.astype(jnp.int32))
+            return (tokens, nxt_done, t + 1), None
+
+        rngs = jax.random.split(rng, max_len)
+        (tokens, done, _), _ = jax.lax.scan(
+            step, (tokens0, jnp.zeros((b,), bool), jnp.array(0)), rngs
+        )
+        return tokens

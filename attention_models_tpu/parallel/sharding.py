@@ -33,7 +33,8 @@ DEFAULT_PARAM_RULES: list[tuple[str, P]] = [
     # GEGLU / MLP: shard the inner dim
     (r".*/(ff_in|mlp_in)/kernel$", P(None, MODEL_AXIS)),
     (r".*/(ff_out|mlp_out)/kernel$", P(MODEL_AXIS, None)),
-    # stacked expert banks (E, d_in, d_out): expert parallelism
+    # stacked expert banks: (E, d_in, d_out) kernels / (E, d_out) biases
+    (r".*/experts_\w*bias$", P(MODEL_AXIS, None)),
     (r".*/experts_\w+$", P(MODEL_AXIS, None, None)),
 ]
 

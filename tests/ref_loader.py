@@ -1,0 +1,25 @@
+"""Load reference (PyTorch) modules from /root/reference for parity testing
+WITHOUT executing the package __init__ (which drags in transformers/cv2 and
+model constructors that crash at this snapshot — SURVEY.md §2.9#1).
+
+This imports the upstream code read-only at test time to generate golden
+outputs; no reference code is copied into this repo.
+"""
+
+import sys
+import types
+
+_REF = "/root/reference"
+
+
+def load_ref_module(name: str):
+    """e.g. load_ref_module("models.softmax_attention")"""
+    if "models" not in sys.modules or not getattr(
+        sys.modules["models"], "__ref_stub__", False
+    ):
+        pkg = types.ModuleType("models")
+        pkg.__path__ = [f"{_REF}/models"]
+        pkg.__ref_stub__ = True
+        sys.modules["models"] = pkg
+    __import__(name)
+    return sys.modules[name]
