@@ -162,3 +162,175 @@ def convert_transformer(sd: Mapping, enc_depth: int, dec_depth: int) -> dict:
         "dec_final_norm": _gamma_ln(sd, "dec_final_norm"),
         "linear": _lin(sd, "linear"),
     }
+
+
+# --------------------------------------------------------------------------- #
+# Vision models
+# --------------------------------------------------------------------------- #
+
+_FF_PATTERNS = [
+    ("{p}.feed_forward.0", "{p}.feed_forward.2"),       # Sequential(Lin,GELU,Lin)
+    ("{p}.feed_forward.fc1", "{p}.feed_forward.fc2"),    # timm/xformers MLP
+    ("{p}.feed_forward.mlp.0", "{p}.feed_forward.mlp.2"),
+    ("{p}.mlp.fc1", "{p}.mlp.fc2"),
+]
+
+
+def _convert_vit_mlp(sd: Mapping, p: str) -> dict:
+    """ViTVQGAN block FFN: the snapshot's class is broken (SURVEY §2.9#1), so
+    real checkpoints may use any of several working layouts — detect."""
+    for a, b in _FF_PATTERNS:
+        a, b = a.format(p=p), b.format(p=p)
+        if f"{a}.weight" in sd:
+            return {"mlp_in": _lin(sd, a), "mlp_out": _lin(sd, b)}
+    raise KeyError(f"no known FFN layout under {p} (tried {_FF_PATTERNS})")
+
+
+def convert_vitvqgan_block(sd: Mapping, p: str) -> dict:
+    return {
+        "self_attn": convert_softmax_attention(sd, f"{p}.self_attn"),
+        "mlp": _convert_vit_mlp(sd, p),
+        "norm1": _torch_ln(sd, f"{p}.norm1"),
+        "norm2": _torch_ln(sd, f"{p}.norm2"),
+    }
+
+
+def _convert_patch_embed(sd: Mapping, p: str) -> dict:
+    """to_patch_embedding Sequential: 1=LN, 2=Linear, 3=LN (vitvqgan.py:89-94)."""
+    return {
+        "norm1": _torch_ln(sd, f"{p}.1"),
+        "proj": _lin(sd, f"{p}.2"),
+        "norm2": _torch_ln(sd, f"{p}.3"),
+    }
+
+
+def convert_vitvqgan(sd: Mapping, depth: int) -> dict:
+    """Full ViTVQGAN (vitvqgan.py:180-215) including pre/post-quant and the
+    codebook embedding — the VitVQGAN.pt conversion path."""
+    enc = {
+        "patch_embed": _convert_patch_embed(sd, "encoder.to_patch_embedding"),
+        "pos_enc": sd["encoder.pos_enc"],
+        "pre_norm": _torch_ln(sd, "encoder.pre_norm"),
+    }
+    for i in range(depth):
+        enc[f"layers_{i}"] = convert_vitvqgan_block(
+            sd, f"encoder.encoder.layers.{i}"
+        )
+    dec = {
+        "pos_enc": sd["decoder.pos_enc"],
+        "pre_norm": _torch_ln(sd, "decoder.pre_norm"),
+        "fc": _lin(sd, "decoder.fc"),
+    }
+    for i in range(depth):
+        dec[f"layers_{i}"] = convert_vitvqgan_block(
+            sd, f"decoder.decoder.layers.{i}"
+        )
+    return {
+        "encoder": enc,
+        "pre_quant": _lin(sd, "pre_quant"),
+        "codebook": {"embedding": sd["codebook.embedding.weight"]},
+        "post_quant": _lin(sd, "post_quant"),
+        "decoder": dec,
+    }
+
+
+def _convert_groupnorm(sd: Mapping, p: str) -> dict:
+    """reference GroupNorm wrapper: {p}.gn.{weight,bias} -> gn/{scale,bias}."""
+    return {"gn": {"scale": sd[f"{p}.gn.weight"], "bias": sd[f"{p}.gn.bias"]}}
+
+
+def _convert_residual_block(sd: Mapping, p: str) -> dict:
+    """ResidualBlock: block.0 GN / block.2 conv / block.3 GN / block.5 conv
+    (+ channel_up)."""
+    out = {
+        "norm1": _convert_groupnorm(sd, f"{p}.block.0"),
+        "conv1": _conv(sd, f"{p}.block.2"),
+        "norm2": _convert_groupnorm(sd, f"{p}.block.3"),
+        "conv2": _conv(sd, f"{p}.block.5"),
+    }
+    if f"{p}.channel_up.weight" in sd:
+        out["channel_up"] = _conv(sd, f"{p}.channel_up")
+    return out
+
+
+def _convert_nonlocal(sd: Mapping, p: str) -> dict:
+    # proj_out is dead code in the reference forward — keys dropped on purpose
+    return {
+        "gn": _convert_groupnorm(sd, f"{p}.gn"),
+        "q": _conv(sd, f"{p}.q"),
+        "k": _conv(sd, f"{p}.k"),
+        "v": _conv(sd, f"{p}.v"),
+    }
+
+
+def convert_planned_stack(sd: Mapping, p: str, plan) -> dict:
+    """CNN encoder/decoder: torch Sequential index == plan index."""
+    out = {}
+    for idx, (kind, cls, kw) in enumerate(plan):
+        tp = f"{p}.{idx}"
+        if kind in ("conv_in", "conv_out"):
+            out[f"m{idx}"] = _conv(sd, tp)
+        elif kind == "res":
+            out[f"m{idx}"] = _convert_residual_block(sd, tp)
+        elif kind == "attn":
+            out[f"m{idx}"] = _convert_nonlocal(sd, tp)
+        elif kind in ("down", "up"):
+            out[f"m{idx}"] = {"conv": _conv(sd, f"{tp}.conv")}
+        elif kind == "norm":
+            out[f"m{idx}"] = _convert_groupnorm(sd, tp)
+        # swish: no params
+    return out
+
+
+def convert_vqgan(sd: Mapping) -> dict:
+    from attention_models_tpu.models.vqgan import decoder_plan, encoder_plan
+
+    dim = sd["pre_quant.weight"].shape[0]
+    return {
+        "encoder": convert_planned_stack(sd, "encoder.model", encoder_plan(dim)),
+        "pre_quant": _conv(sd, "pre_quant"),
+        "codebook": {"embedding": sd["codebook.embedding.weight"]},
+        "post_quant": _conv(sd, "post_quant"),
+        "decoder": convert_planned_stack(sd, "decoder.model", decoder_plan(dim)),
+    }
+
+
+def convert_discriminator(sd: Mapping, n_layers: int = 3):
+    """NLayerDiscriminator Sequential: conv,lrelu,(conv,bn,lrelu)*,conv.
+    Returns (params, batch_stats)."""
+    params = {"conv0": _conv(sd, "model.0")}
+    stats = {}
+    idx = 2
+    for n in range(1, n_layers + 1):
+        params[f"conv{n}"] = _conv(sd, f"model.{idx}")
+        params[f"bn{n}"] = {
+            "scale": sd[f"model.{idx + 1}.weight"],
+            "bias": sd[f"model.{idx + 1}.bias"],
+        }
+        stats[f"bn{n}"] = {
+            "mean": sd[f"model.{idx + 1}.running_mean"],
+            "var": sd[f"model.{idx + 1}.running_var"],
+        }
+        idx += 3
+    params["conv_out"] = _conv(sd, f"model.{idx}")
+    return params, stats
+
+
+def convert_vit_moe(sd: Mapping, depth: int) -> dict:
+    """models/vit_moe.py:49-106."""
+    out = {
+        "patch_embed": _convert_patch_embed(sd, "to_patch_embedding"),
+        "class_token": sd["class_token"],
+        "pos_enc": sd["pos_enc"],
+        "norm": _torch_ln(sd, "norm"),
+        "class_embed": _lin(sd, "class_embed"),
+    }
+    for i in range(depth):
+        p = f"encoder.layers.{i}"
+        out[f"layers_{i}"] = {
+            "self_attn": convert_switchhead_attention(sd, f"{p}.self_attn"),
+            "moe": convert_moe_layer(sd, f"{p}.moe"),
+            "norm1": _torch_ln(sd, f"{p}.norm1"),
+            "norm2": _torch_ln(sd, f"{p}.norm2"),
+        }
+    return out

@@ -21,5 +21,13 @@ def load_ref_module(name: str):
         pkg.__path__ = [f"{_REF}/models"]
         pkg.__ref_stub__ = True
         sys.modules["models"] = pkg
+        # populate the re-exports some reference modules pull from the package
+        # root (e.g. vit_moe.py: `from models import SwitchHeadAttention`)
+        __import__("models.switchhead_attention")
+        __import__("models.moe")
+        pkg.SwitchHeadAttention = sys.modules[
+            "models.switchhead_attention"
+        ].SwitchHeadAttention
+        pkg.MoELayer = sys.modules["models.moe"].MoELayer
     __import__(name)
     return sys.modules[name]
