@@ -53,6 +53,7 @@ class SoftmaxAttention(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_flash: bool | None = None
+    max_decode_len: int | None = None  # KV-cache size for decode mode
 
     @nn.compact
     def __call__(
@@ -63,6 +64,7 @@ class SoftmaxAttention(nn.Module):
         context_mask=None,
         causal: bool = False,
         deterministic: bool = True,
+        decode: bool = False,
     ):
         h, d = self.num_heads, self.dim_head
         q = nn.Dense(h * d, use_bias=False, dtype=self.dtype, name="wq")(x)
@@ -74,17 +76,57 @@ class SoftmaxAttention(nn.Module):
         kv = nn.Dropout(self.dropout)(kv, deterministic=deterministic)
         k, v = rearrange(kv, "b t (kv h d) -> kv b h t d", kv=2, h=h)
 
-        out = _dispatch_attention(
-            q, k, v,
-            scale=d ** -0.5,
-            causal=causal,
-            causal_mask=causal_mask,
-            context_mask=context_mask,
-            use_flash=self.use_flash,
-        )
+        if decode:
+            out = self._decode_attention(q, k, v, is_cross=context is not None)
+        else:
+            out = _dispatch_attention(
+                q, k, v,
+                scale=d ** -0.5,
+                causal=causal,
+                causal_mask=causal_mask,
+                context_mask=context_mask,
+                use_flash=self.use_flash,
+            )
         out = rearrange(out, "b h t d -> b t (h d)")
         out = nn.Dense(self.dim, dtype=self.dtype, name="wo")(out)
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+
+    def _decode_attention(self, q, k, v, is_cross: bool):
+        """Single-step KV-cached attention (q has t==1). Self-attention
+        appends (k, v) into a rolling cache; cross-attention keys/values are
+        position-independent so they pass straight through. The reference has
+        no KV cache (it re-forwards the whole prefix each AR step,
+        parti.py:126-153) — this is the idiomatic-TPU upgrade (SURVEY §7.6)."""
+        scale = self.dim_head ** -0.5
+        if is_cross:
+            return multihead_attention(q, k, v, scale=scale)
+
+        if self.max_decode_len is None:
+            raise ValueError("decode mode needs max_decode_len")
+        b, h, _, d = q.shape
+        ck = self.variable(
+            "cache", "cached_key",
+            lambda: jnp.zeros((b, h, self.max_decode_len, d), k.dtype),
+        )
+        cv = self.variable(
+            "cache", "cached_value",
+            lambda: jnp.zeros((b, h, self.max_decode_len, d), v.dtype),
+        )
+        ci = self.variable("cache", "cache_index",
+                           lambda: jnp.zeros((), jnp.int32))
+        idx = ci.value
+        ck.value = jax.lax.dynamic_update_slice(ck.value, k, (0, 0, idx, 0))
+        cv.value = jax.lax.dynamic_update_slice(cv.value, v, (0, 0, idx, 0))
+        ci.value = idx + 1
+
+        scores = jnp.einsum(
+            "bhid,bhjd->bhij", q * scale, ck.value,
+            preferred_element_type=jnp.float32,
+        )  # (b, h, 1, L)
+        valid = jnp.arange(self.max_decode_len)[None, None, None, :] <= idx
+        scores = jnp.where(valid, scores, -1e9)
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        return jnp.einsum("bhij,bhjd->bhid", probs, cv.value)
 
 
 def adaptive_avg_pool_1d(x: jnp.ndarray, out_size: int, axis: int) -> jnp.ndarray:

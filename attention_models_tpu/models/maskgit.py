@@ -1,0 +1,180 @@
+"""MaskGIT (arXiv 2202.04200; API parity with /root/reference/models/maskgit.py).
+
+Bidirectional transformer over frozen-VQ token grids. Training: cosine-
+schedule random masking + CE(ignore_index=-1) — with the reference's
+``torch.random(b)`` crash fixed per SURVEY.md §2.9#2 (uniform timesteps, as
+Muse does). Inference: iterative confidence-based parallel decode as ONE
+jitted ``lax.scan`` with static timesteps — no host round-trips.
+
+The frozen ViTVQGAN lives as the ``vq`` submodule; its params are inside this
+model's param tree and the trainer zeroes their updates (optax mask).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from attention_models_tpu.models.layers import GammaLayerNorm
+from attention_models_tpu.models.transformer import Encoder
+from attention_models_tpu.models.vitvqgan import ViTVQGAN
+from attention_models_tpu.ops.sampling import (
+    cosine_schedule,
+    cross_entropy_ignore_index,
+    filter_logits,
+    gumbel_argmax,
+    lowest_score_mask,
+    mask_fill_inputs_and_targets,
+    random_mask,
+)
+
+trunc_normal02 = nn.initializers.truncated_normal(0.02, lower=-2.0, upper=2.0)
+
+
+class BiDirectionalTransformer(nn.Module):
+    """maskgit.py:51-88: Embedding(vocab+1) (+1 = mask token), trunc-normal
+    learned pos-enc, gamma-LN sandwich around a transformer.Encoder stack,
+    no-bias head. google-maskgit trunc-normal(0.02) init."""
+
+    dim: int
+    vocab_size: int = 8192
+    num_patches: int = 256
+    n_heads: int = 8
+    d_head: int = 64
+    dec_depth: int = 6
+    mult: float = 4
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        emb = nn.Embed(
+            self.vocab_size + 1, self.dim, dtype=self.dtype,
+            embedding_init=trunc_normal02, name="input_proj",
+        )(x)
+        pos = self.param(
+            "pos_enc", trunc_normal02, (1, self.num_patches, self.dim),
+            jnp.float32,
+        )
+        h = emb + pos.astype(emb.dtype)
+        h = GammaLayerNorm(self.dim, dtype=self.dtype, name="init_norm")(h)
+        h = Encoder(
+            self.dim, self.n_heads, self.d_head, self.dec_depth, self.mult,
+            self.dropout, dtype=self.dtype, name="decoder",
+        )(h, deterministic=deterministic)
+        h = GammaLayerNorm(self.dim, dtype=self.dtype, name="final_norm")(h)
+        return nn.Dense(
+            self.vocab_size, use_bias=False, dtype=self.dtype,
+            kernel_init=trunc_normal02, name="linear",
+        )(h)
+
+
+class MaskGitTransformer(nn.Module):
+    dim: int
+    vq_config: dict  # {"vit_params": ..., "codebook_params": ...}
+    vocab_size: int = 8192
+    n_heads: int = 8
+    d_head: int = 64
+    dec_depth: int = 6
+    mult: float = 4
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.vq = ViTVQGAN(**self.vq_config, dtype=self.dtype)
+        self.mask_token_id = self.vocab_size
+        self.bidirectional_transformer = BiDirectionalTransformer(
+            dim=self.dim, vocab_size=self.vocab_size,
+            num_patches=self.vq.num_patches,
+            n_heads=self.n_heads, d_head=self.d_head,
+            dec_depth=self.dec_depth, mult=self.mult, dropout=self.dropout,
+            dtype=self.dtype,
+        )
+
+    def init_all(self, imgs, rng: jax.Array):
+        """Init-time path that touches every parameter (training forward
+        alone never visits the VQ decoder): use as
+        ``model.init(key, imgs, rng, method=MaskGitTransformer.init_all)``."""
+        loss = self(imgs, rng, deterministic=True)
+        idx = jnp.zeros((imgs.shape[0], self.vq.num_patches), jnp.int32)
+        self.vq.decode_indices(idx)
+        return loss
+
+    # -- training -------------------------------------------------------------
+    def __call__(self, imgs, rng: jax.Array, deterministic: bool = False):
+        """Training loss. ``rng`` drives masking (+dropout when not
+        deterministic)."""
+        indices = jax.lax.stop_gradient(self.vq.encode_imgs(imgs))
+        mask_rng, drop_rng = jax.random.split(rng)
+        mask = random_mask(mask_rng, *indices.shape)
+        inputs, targets = mask_fill_inputs_and_targets(
+            indices, mask, self.mask_token_id
+        )
+        logits = self.bidirectional_transformer(
+            inputs, deterministic=deterministic
+        )
+        return cross_entropy_ignore_index(logits, targets)
+
+    # -- eval reconstruction (the reference's eval branch of forward) ----------
+    def reconstruct(self, imgs, rng: jax.Array):
+        indices = self.vq.encode_imgs(imgs)
+        mask = random_mask(rng, *indices.shape)
+        inputs, _ = mask_fill_inputs_and_targets(indices, mask, self.mask_token_id)
+        logits = self.bidirectional_transformer(inputs)
+        pred = jnp.argmax(logits, axis=-1)
+        filled = jnp.where(mask, pred, indices)
+        return self.vq.decode_indices(filled)
+
+    # -- iterative parallel decode ---------------------------------------------
+    def generate(
+        self,
+        rng: jax.Array,
+        imgs: Optional[jnp.ndarray] = None,
+        batch: int = 1,
+        num_masked: int = 200,
+        timesteps: int = 18,
+        filter_p: float = 0.9,
+    ):
+        """maskgit.py:191-288 minus the cv2 debug output. From scratch
+        (imgs=None): start all-mask. Inpainting: encode ``imgs`` and mask the
+        first ``num_masked`` token positions (fill_custom_mask semantics).
+        The loop re-masks the ``cosine(t)·num_masked`` lowest-confidence
+        tokens each step, samples with top-k filtered gumbel noise annealed
+        to greedy."""
+        n = self.vq.num_patches
+        if imgs is None:
+            ids = jnp.full((batch, n), self.mask_token_id, jnp.int32)
+            base_mask = jnp.ones((batch, n), bool)  # everything re-maskable
+        else:
+            batch = imgs.shape[0]
+            ids = self.vq.encode_imgs(imgs)
+            pos = jnp.arange(n)[None, :]
+            base_mask = jnp.broadcast_to(pos < num_masked, (batch, n))
+
+        scores = jnp.zeros((batch, n), jnp.float32)
+        ts = jnp.linspace(0.0, 1.0, timesteps)
+        steps_until_x0 = jnp.arange(timesteps - 1, -1, -1)
+        rngs = jax.random.split(rng, timesteps)
+
+        def step(carry, xs):
+            ids, scores = carry
+            timestep, steps_left, rng_t = xs
+            num_to_mask = jnp.maximum(
+                (cosine_schedule(timestep) * num_masked).astype(jnp.int32), 1
+            )
+            mask = lowest_score_mask(scores, num_to_mask) & base_mask
+            x = jnp.where(mask, self.mask_token_id, ids)
+            logits = self.bidirectional_transformer(x)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            temperature = steps_left.astype(jnp.float32) / timesteps
+            pred = gumbel_argmax(rng_t, filter_logits(logits, filter_p), temperature)
+            ids = jnp.where(mask, pred, ids)
+            new_scores = jnp.take_along_axis(probs, pred[..., None], axis=-1)[..., 0]
+            scores = jnp.where(mask, new_scores, 1.0)
+            return (ids, scores), None
+
+        (ids, _), _ = jax.lax.scan(step, (ids, scores), (ts, steps_until_x0, rngs))
+        return self.vq.decode_indices(ids)

@@ -1,0 +1,182 @@
+"""Muse (arXiv 2301.00704; API parity with /root/reference/models/muse.py):
+text-conditioned MaskGIT with classifier-free guidance.
+
+Differences from the reference, all deliberate and documented:
+  - The CFG double forward (cond + null context) is batched as a single 2b
+    forward per decode step (SURVEY.md §7.6).
+  - Text conditioning flows in as token ids (host tokenizes; see
+    models/text_encoder.tokenize) so the whole step jits.
+  - ``embeds_drop_prob`` keeps the reference's keep-prob semantics (0.9 keep
+    = 10% unconditional, §2.9#10) under the clearer name ``cond_keep_prob``
+    while the constructor still accepts the old knob.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from attention_models_tpu.models.layers import GammaLayerNorm
+from attention_models_tpu.models.maskgit import trunc_normal02
+from attention_models_tpu.models.text_encoder import TextEncoder
+from attention_models_tpu.models.transformer import Decoder
+from attention_models_tpu.models.vitvqgan import ViTVQGAN
+from attention_models_tpu.ops.sampling import (
+    cosine_schedule,
+    cross_entropy_ignore_index,
+    filter_logits,
+    gumbel_argmax,
+    lowest_score_mask,
+    mask_fill_inputs_and_targets,
+    random_mask,
+)
+
+
+class BidirectionalDecoder(nn.Module):
+    """muse.py:57-96: token emb (+1 mask token), learned pos-enc,
+    transformer.Decoder (bidirectional self-attn + cross-attn to text),
+    gamma-LN, no-bias head; google-maskgit trunc-normal(0.02) init."""
+
+    dim: int
+    codebook_size: int
+    n_heads: int
+    d_head: int
+    depth: int
+    mult: float
+    dropout: float
+    num_patches: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, indices, context, context_mask=None,
+                 deterministic: bool = True):
+        x = nn.Embed(
+            self.codebook_size + 1, self.dim, dtype=self.dtype,
+            embedding_init=trunc_normal02, name="token_emb",
+        )(indices)
+        pos = self.param(
+            "pos_enc", nn.initializers.normal(1.0),
+            (1, self.num_patches, self.dim), jnp.float32,
+        )
+        x = x + pos.astype(x.dtype)
+        x = Decoder(
+            self.dim, self.n_heads, self.d_head, self.depth, self.mult,
+            self.dropout, dtype=self.dtype, name="decoder",
+        )(x, context, context_mask=context_mask, deterministic=deterministic)
+        x = GammaLayerNorm(self.dim, dtype=self.dtype, name="final_norm")(x)
+        return nn.Dense(
+            self.codebook_size, use_bias=False, dtype=self.dtype,
+            kernel_init=trunc_normal02, name="linear",
+        )(x)
+
+
+class MUSE(nn.Module):
+    dim: int
+    vq_config: dict
+    max_length: int = 77
+    n_heads: int = 8
+    d_head: int = 64
+    depth: int = 6
+    mult: float = 4
+    cond_keep_prob: float = 0.9  # reference's embeds_drop_prob (keep-prob!)
+    dropout: float = 0.0
+    guidance_scale: float = 3.0  # hardcoded 3 in the reference (muse.py:217)
+    clip_width: int = 768
+    clip_layers: int = 12
+    clip_heads: int = 12
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.text_encoder = TextEncoder(
+            self.dim, self.max_length, project=True,
+            clip_width=self.clip_width, clip_layers=self.clip_layers,
+            clip_heads=self.clip_heads, dtype=self.dtype,
+        )
+        self.vq = ViTVQGAN(**self.vq_config, dtype=self.dtype)
+        self.codebook_size = self.vq_config["codebook_params"]["codebook_size"]
+        self.mask_token_id = self.codebook_size
+        self.decoder = BidirectionalDecoder(
+            self.dim, self.codebook_size, self.n_heads, self.d_head,
+            self.depth, self.mult, self.dropout, self.vq.num_patches,
+            dtype=self.dtype,
+        )
+
+    def encode_texts(self, text_ids):
+        return self.text_encoder(text_ids)
+
+    def init_all(self, text_ids, imgs, rng: jax.Array):
+        """Init-time path touching every parameter (incl. the VQ decoder)."""
+        loss = self(text_ids, imgs, rng, deterministic=True)
+        idx = jnp.zeros((imgs.shape[0], self.vq.num_patches), jnp.int32)
+        self.vq.decode_indices(idx)
+        return loss
+
+    # -- training ---------------------------------------------------------------
+    def __call__(self, text_ids, imgs, rng: jax.Array,
+                 deterministic: bool = False):
+        text_embeds = jax.lax.stop_gradient(self.text_encoder(text_ids))
+        indices = jax.lax.stop_gradient(self.vq.encode_imgs(imgs))
+
+        mask_rng, cond_rng = jax.random.split(rng)
+        mask = random_mask(mask_rng, *indices.shape)
+        inputs, targets = mask_fill_inputs_and_targets(
+            indices, mask, self.mask_token_id
+        )
+        # CFG conditioning dropout: keep text with prob cond_keep_prob
+        keep = (
+            jax.random.uniform(cond_rng, (indices.shape[0], 1, 1))
+            < self.cond_keep_prob
+        )
+        text_embeds = text_embeds * keep.astype(text_embeds.dtype)
+
+        logits = self.decoder(inputs, text_embeds, deterministic=deterministic)
+        return cross_entropy_ignore_index(logits, targets)
+
+    # -- iterative parallel decode with CFG --------------------------------------
+    def generate(
+        self,
+        text_ids,
+        rng: jax.Array,
+        timesteps: int = 18,
+        filter_p: float = 0.9,
+        guidance_scale: float | None = None,
+    ):
+        gs = self.guidance_scale if guidance_scale is None else guidance_scale
+        b = text_ids.shape[0]
+        n = self.vq.num_patches
+        text_embeds = self.text_encoder(text_ids)
+        null_embeds = jnp.zeros_like(text_embeds)
+        # single 2b-batch forward per step instead of two b-batch forwards
+        both_ctx = jnp.concatenate([text_embeds, null_embeds], axis=0)
+
+        ids = jnp.full((b, n), self.mask_token_id, jnp.int32)
+        scores = jnp.zeros((b, n), jnp.float32)
+        ts = jnp.linspace(0.0, 1.0, timesteps)
+        steps_until_x0 = jnp.arange(timesteps - 1, -1, -1)
+        rngs = jax.random.split(rng, timesteps)
+
+        def step(carry, xs):
+            ids, scores = carry
+            timestep, steps_left, rng_t = xs
+            num_to_mask = jnp.maximum(
+                (cosine_schedule(timestep) * n).astype(jnp.int32), 1
+            )
+            mask = lowest_score_mask(scores, num_to_mask)
+            ids = jnp.where(mask, self.mask_token_id, ids)
+
+            logits2 = self.decoder(jnp.tile(ids, (2, 1)), both_ctx)
+            cond, null = jnp.split(logits2.astype(jnp.float32), 2, axis=0)
+            scaled = null + gs * (cond - null)
+
+            probs = jax.nn.softmax(scaled, axis=-1)
+            temperature = steps_left.astype(jnp.float32) / timesteps
+            pred = gumbel_argmax(
+                rng_t, filter_logits(scaled, filter_p), temperature
+            )
+            ids = jnp.where(mask, pred, ids)
+            scores = jnp.take_along_axis(probs, pred[..., None], axis=-1)[..., 0]
+            return (ids, scores), None
+
+        (ids, _), _ = jax.lax.scan(step, (ids, scores), (ts, steps_until_x0, rngs))
+        return self.vq.decode_indices(ids)

@@ -1,0 +1,189 @@
+"""Parti-style autoregressive text-to-image (API parity with
+/root/reference/models/parti.py:49-155).
+
+Teacher-forced training: start-token + shifted VQ indices, causal decoder
+with cross-attention to frozen CLIP text embeds, CE over the full index
+sequence. Generation is KV-cached single-token decode (the reference
+re-forwards the whole growing prefix each step and discards its init/final
+norm results — both fixed per SURVEY.md §2.9#9; norms are applied here).
+
+Reference quirk kept: ``context_norm`` is applied in training forward but NOT
+in generate (parti.py:99 vs 131).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from attention_models_tpu.models.layers import (
+    LayerNorm,
+    SinusoidalPositionalEncoding,
+)
+from attention_models_tpu.models.text_encoder import TextEncoder
+from attention_models_tpu.models.transformer import Decoder
+from attention_models_tpu.models.vitvqgan import ViTVQGAN
+from attention_models_tpu.models.vqgan import VQGAN
+from attention_models_tpu.ops.sampling import filter_logits, gumbel_argmax
+
+
+def parti_num_patches(vq_config: dict) -> int:
+    if vq_config.get("kind", "vqgan") == "vqgan":
+        return 16 * 16  # hardcoded like the reference CNN encoder
+    vp = vq_config["vit_params"]
+    return (vp["img_size"] // vp["patch_size"]) ** 2
+
+
+class Parti(nn.Module):
+    dim: int
+    vq_config: dict  # {"kind": "vqgan"|"vitvqgan", ...constructor args}
+    max_length: int = 77
+    n_heads: int = 8
+    d_head: int = 64
+    depth: int = 6
+    clip_width: int = 768
+    clip_layers: int = 12
+    clip_heads: int = 12
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = dict(self.vq_config)
+        kind = cfg.pop("kind", "vqgan")
+        self.vq = (
+            VQGAN(**cfg, dtype=self.dtype)
+            if kind == "vqgan"
+            else ViTVQGAN(**cfg, dtype=self.dtype)
+        )
+        self.codebook_size = (
+            cfg["codebook_size"]
+            if kind == "vqgan"
+            else cfg["codebook_params"]["codebook_size"]
+        )
+        self.num_patches = parti_num_patches(self.vq_config)
+
+        self.text_encoder = TextEncoder(
+            self.dim, self.max_length, project=False,
+            clip_width=self.clip_width, clip_layers=self.clip_layers,
+            clip_heads=self.clip_heads, dtype=self.dtype,
+        )
+        self.context_norm = LayerNorm(self.clip_width, dtype=self.dtype)
+        self.start_token = self.param(
+            "start_token", nn.initializers.normal(1.0), (self.dim,), jnp.float32
+        )
+        self.token_emb = nn.Embed(self.codebook_size, self.dim, dtype=self.dtype)
+        self.pos_enc = SinusoidalPositionalEncoding(self.dim)
+        self.transformer_decoder = Decoder(
+            self.dim, self.n_heads, self.d_head, self.depth, dtype=self.dtype,
+            max_decode_len=self.num_patches,
+        )
+        self.init_norm = LayerNorm(self.dim, dtype=self.dtype)
+        self.final_norm = LayerNorm(self.dim, dtype=self.dtype)
+        self.to_logits = nn.Dense(self.codebook_size, dtype=self.dtype)
+
+    def _embed_prefix(self, indices, deterministic: bool = True):
+        """start token + embedded indices, with sinusoidal PE applied to the
+        index embeddings BEFORE the start token is prepended (parti.py:104-110
+        order preserved)."""
+        b = indices.shape[0]
+        x = self.token_emb(indices)
+        x = self.pos_enc(x, deterministic=deterministic)
+        start = jnp.broadcast_to(
+            self.start_token.astype(x.dtype), (b, 1, self.dim)
+        )
+        return jnp.concatenate([start, x], axis=1)
+
+    def init_all(self, text_ids, imgs):
+        """Init-time path touching every parameter (incl. the VQ decoder)."""
+        loss = self(text_ids, imgs)
+        idx = jnp.zeros((imgs.shape[0], self.num_patches), jnp.int32)
+        self.vq.decode_indices(idx)
+        return loss
+
+    # -- training ----------------------------------------------------------------
+    def __call__(self, text_ids, imgs, deterministic: bool = True):
+        text_embeds = jax.lax.stop_gradient(self.text_encoder(text_ids))
+        text_embeds = self.context_norm(text_embeds)
+
+        labels = jax.lax.stop_gradient(self.vq.encode_imgs(imgs))
+        dec_in = self._embed_prefix(labels[:, :-1], deterministic=deterministic)
+        dec_in = self.init_norm(dec_in)
+        dec_out = self.transformer_decoder(
+            dec_in, text_embeds, causal=True, deterministic=deterministic
+        )
+        dec_out = self.final_norm(dec_out)
+        logits = self.to_logits(dec_out)
+
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+        return jnp.mean(nll)
+
+    # -- KV-cached AR decode -------------------------------------------------------
+    def decode_step(self, tok_embed, context):
+        """One cached decoder step. tok_embed: (b, 1, dim)."""
+        x = self.init_norm(tok_embed)
+        x = self.transformer_decoder(x, context, decode=True)
+        x = self.final_norm(x)
+        return self.to_logits(x)
+
+    def prepare_context(self, text_ids):
+        # reference generate() skips context_norm (parti.py:131) — kept
+        return self.text_encoder(text_ids)
+
+    def embed_token(self, indices, pos):
+        """Embed one generated token for step pos (position pos in the PE
+        table, since the start token carries no PE)."""
+        x = self.token_emb(indices)  # (b, 1, dim)
+        pe = self.pos_enc.pe_table()
+        return x + pe[pos][None, None, :].astype(x.dtype)
+
+    def start_embed(self, batch: int):
+        return jnp.broadcast_to(
+            self.start_token.astype(self.dtype), (batch, 1, self.dim)
+        )
+
+
+def parti_generate(
+    model: Parti,
+    variables,
+    text_ids,
+    rng: jax.Array,
+    filter_p: float = 0.9,
+) -> jnp.ndarray:
+    """AR generation with a KV cache: one jitted lax.fori_loop over
+    num_patches single-token decoder steps, then VQ decode."""
+    b = text_ids.shape[0]
+    n = parti_num_patches(model.vq_config)
+
+    @jax.jit
+    def run(variables, text_ids, rng):
+        ctx = model.apply(variables, text_ids, method=Parti.prepare_context)
+        tok0 = model.apply(variables, b, method=Parti.start_embed)
+        # materialize a fresh zeroed cache (cache_index = 0)
+        _, vars0 = model.apply(
+            variables, tok0, ctx, method=Parti.decode_step, mutable=["cache"]
+        )
+        cache = jax.tree.map(jnp.zeros_like, vars0["cache"])
+
+        indices0 = jnp.zeros((b, n), jnp.int32)
+        rngs = jax.random.split(rng, n)
+
+        def body(i, carry):
+            indices, tok, cache = carry
+            logits, upd = model.apply(
+                {**variables, "cache": cache}, tok, ctx,
+                method=Parti.decode_step, mutable=["cache"],
+            )
+            nxt = gumbel_argmax(
+                rngs[i], filter_logits(logits[:, -1, :], filter_p), 1.0
+            )  # (b,)
+            indices = jax.lax.dynamic_update_slice(indices, nxt[:, None], (0, i))
+            tok = model.apply(
+                variables, nxt[:, None], i, method=Parti.embed_token
+            )
+            return indices, tok, upd["cache"]
+
+        indices, _, _ = jax.lax.fori_loop(0, n, body, (indices0, tok0, cache))
+        return model.apply(variables, indices, method=lambda m, ix: m.vq.decode_indices(ix))
+
+    return run(variables, text_ids, rng)

@@ -69,23 +69,26 @@ class DecoderLayer(nn.Module):
     mult: float = 4
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    max_decode_len: int | None = None
 
     @nn.compact
     def __call__(
         self, x, context, context_mask=None, causal_mask=None,
-        causal: bool = False, deterministic: bool = True,
+        causal: bool = False, deterministic: bool = True, decode: bool = False,
     ):
         h = GammaLayerNorm(self.dim, dtype=self.dtype, name="norm1")(x)
         x = x + SoftmaxAttention(
             self.dim, self.n_heads, self.d_head, self.dropout,
-            dtype=self.dtype, name="self_attn",
-        )(h, causal_mask=causal_mask, causal=causal, deterministic=deterministic)
+            dtype=self.dtype, max_decode_len=self.max_decode_len,
+            name="self_attn",
+        )(h, causal_mask=causal_mask, causal=causal,
+          deterministic=deterministic, decode=decode)
         h = GammaLayerNorm(self.dim, dtype=self.dtype, name="norm2")(x)
         x = x + SoftmaxAttention(
             self.dim, self.n_heads, self.d_head, self.dropout,
             dtype=self.dtype, name="cross_attn",
         )(h, context=context, context_mask=context_mask,
-          deterministic=deterministic)
+          deterministic=deterministic, decode=decode)
         h = GammaLayerNorm(self.dim, dtype=self.dtype, name="norm3")(x)
         x = x + FeedForward(self.dim, self.mult, dtype=self.dtype, name="ff")(h)
         return x
@@ -103,19 +106,22 @@ class Decoder(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    max_decode_len: int | None = None
 
     @nn.compact
     def __call__(
         self, dec_in, context, context_mask=None, causal_mask=None,
-        causal: bool = False, deterministic: bool = True,
+        causal: bool = False, deterministic: bool = True, decode: bool = False,
     ):
         layer_cls = nn.remat(DecoderLayer) if self.remat else DecoderLayer
         x = dec_in
         for i in range(self.depth):
             x = layer_cls(
                 self.dim, self.n_heads, self.d_head, self.mult, self.dropout,
-                dtype=self.dtype, name=f"layers_{i}",
-            )(x, context, context_mask, causal_mask, causal, deterministic)
+                dtype=self.dtype, max_decode_len=self.max_decode_len,
+                name=f"layers_{i}",
+            )(x, context, context_mask, causal_mask, causal, deterministic,
+              decode)
         return x
 
 

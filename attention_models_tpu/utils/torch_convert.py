@@ -334,3 +334,29 @@ def convert_vit_moe(sd: Mapping, depth: int) -> dict:
             "norm2": _torch_ln(sd, f"{p}.norm2"),
         }
     return out
+
+
+def convert_hf_clip_text(sd: Mapping, layers: int = 12) -> dict:
+    """HF CLIPTextModel state_dict -> ClipTextModel params
+    (keys: text_model.embeddings.*, text_model.encoder.layers.{i}.*)."""
+    p = "text_model"
+    out = {
+        "token_embedding": {
+            "embedding": sd[f"{p}.embeddings.token_embedding.weight"]
+        },
+        "position_embedding": sd[f"{p}.embeddings.position_embedding.weight"],
+        "final_ln": _torch_ln(sd, f"{p}.final_layer_norm"),
+    }
+    for i in range(layers):
+        lp = f"{p}.encoder.layers.{i}"
+        out[f"layers_{i}"] = {
+            "ln1": _torch_ln(sd, f"{lp}.layer_norm1"),
+            "wq": _lin(sd, f"{lp}.self_attn.q_proj"),
+            "wk": _lin(sd, f"{lp}.self_attn.k_proj"),
+            "wv": _lin(sd, f"{lp}.self_attn.v_proj"),
+            "wo": _lin(sd, f"{lp}.self_attn.out_proj"),
+            "ln2": _torch_ln(sd, f"{lp}.layer_norm2"),
+            "fc1": _lin(sd, f"{lp}.mlp.fc1"),
+            "fc2": _lin(sd, f"{lp}.mlp.fc2"),
+        }
+    return out
