@@ -1,0 +1,128 @@
+"""Datasets: COCO captions (native JSON reader — no pycocotools dependency),
+ImageFolder, and a synthetic dataset for tests/benchmarks.
+
+API parity with /root/reference/datasets/coco.py:13-43 (each item is
+(image CHW float32, caption str); one random caption per image) and
+torchvision ImageFolder (item = (image, class_idx))."""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Sequence
+
+import numpy as np
+
+from attention_models_tpu.data.transforms import Transform
+
+
+class CocoCaptions:
+    """Reads {root}/{dataType}/ images + {root}/annotations/captions_*.json.
+    Truncated by experiment.max_train_examples like the reference (its
+    overfit-N-examples mechanism, coco.py:27-28)."""
+
+    def __init__(self, cfg, data_type="train2017", is_train=True, seed=0):
+        from PIL import Image  # noqa: F401 (fail early if missing)
+
+        params = cfg.dataset.params
+        root = params.train_path if is_train else params.val_path
+        self.img_dir = os.path.join(root, data_type)
+        ann_file = os.path.join(root, "annotations",
+                                f"captions_{data_type}.json")
+        with open(ann_file) as f:
+            ann = json.load(f)
+        self.file_by_imgid = {im["id"]: im["file_name"] for im in ann["images"]}
+        self.captions: dict[int, list[str]] = {}
+        for a in ann["annotations"]:
+            self.captions.setdefault(a["image_id"], []).append(a["caption"])
+        self.imgids = [i for i in self.file_by_imgid if i in self.captions]
+        max_n = int(cfg.experiment.max_train_examples)
+        if max_n < len(self.imgids):
+            self.imgids = self.imgids[:max_n]
+        self.transform = Transform(cfg, is_train, seed)
+        self.rng = np.random.default_rng(seed + 1)
+
+    def __len__(self):
+        return len(self.imgids)
+
+    def __getitem__(self, idx):
+        from PIL import Image
+
+        imgid = self.imgids[idx]
+        img = Image.open(os.path.join(self.img_dir, self.file_by_imgid[imgid]))
+        caption = str(self.rng.choice(self.captions[imgid]))
+        return self.transform(img), caption
+
+
+class ImageFolder:
+    """torchvision.datasets.ImageFolder equivalent: root/class_x/img.ext."""
+
+    EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+    def __init__(self, root: str, transform: Transform):
+        classes = sorted(
+            d for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d))
+        )
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        self.samples: list[tuple[str, int]] = []
+        for c in classes:
+            cdir = os.path.join(root, c)
+            for fn in sorted(os.listdir(cdir)):
+                if fn.lower().endswith(self.EXTS):
+                    self.samples.append((os.path.join(cdir, fn),
+                                         self.class_to_idx[c]))
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, idx):
+        from PIL import Image
+
+        path, label = self.samples[idx]
+        return self.transform(Image.open(path)), label
+
+
+class SyntheticImages:
+    """Deterministic random images (+captions or labels) for tests/bench."""
+
+    _CAPTIONS = ["a photo of a cat", "a red stop sign", "two dogs playing",
+                 "a mountain at sunset"]
+
+    def __init__(self, n: int, resolution: int, with_captions=True,
+                 num_classes: int = 10, seed: int = 0):
+        self.n = n
+        self.resolution = resolution
+        self.with_captions = with_captions
+        self.num_classes = num_classes
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx):
+        rs = np.random.RandomState(self.seed + idx)
+        img = rs.rand(3, self.resolution, self.resolution).astype(np.float32)
+        if self.with_captions:
+            return img, self._CAPTIONS[idx % len(self._CAPTIONS)]
+        return img, idx % self.num_classes
+
+
+class Subset:
+    def __init__(self, ds, indices: Sequence[int]):
+        self.ds, self.indices = ds, list(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, idx):
+        return self.ds[self.indices[idx]]
+
+
+def random_split(ds, train_frac: float, seed: int = 0):
+    """torch.utils.data.random_split equivalent (random permutation split)."""
+    n = len(ds)
+    n_train = int(train_frac * n)
+    perm = np.random.default_rng(seed).permutation(n)
+    return Subset(ds, perm[:n_train]), Subset(ds, perm[n_train:])

@@ -1,0 +1,122 @@
+"""Batching data loader with background prefetch.
+
+Replaces the reference's torch DataLoader (datasets/build_loader.py:29-36)
+with a framework-native loader: shuffling, fixed-size batches (drop_last so
+jitted step shapes stay static — XLA recompiles on shape change), and a
+producer thread that overlaps host-side decode/augment with device compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+
+def _collate(items):
+    imgs = np.stack([it[0] for it in items])
+    seconds = [it[1] for it in items]
+    if isinstance(seconds[0], (int, np.integer)):
+        return imgs, np.asarray(seconds, np.int32)
+    return imgs, seconds  # captions stay a list[str]
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, drop_last: bool = True,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return max(n, 1 if len(self.dataset) else 0)
+
+    def _batch_indices(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(idx)
+        end = (
+            len(idx) - len(idx) % self.batch_size
+            if self.drop_last and len(idx) >= self.batch_size
+            else len(idx)
+        )
+        for s in range(0, end, self.batch_size):
+            yield idx[s : s + self.batch_size]
+
+    def __iter__(self) -> Iterator:
+        self._epoch += 1
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def produce():
+            try:
+                for batch_idx in self._batch_indices():
+                    q.put(_collate([self.dataset[int(i)] for i in batch_idx]))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+def build_loader(cfg):
+    """(train_dl, val_dl) per the reference's dataset schema
+    (build_loader.py:7-38), plus a ``synthetic`` dataset for tests/bench."""
+    from attention_models_tpu.data.datasets import (
+        CocoCaptions,
+        ImageFolder,
+        SyntheticImages,
+        random_split,
+    )
+    from attention_models_tpu.data.transforms import get_transform
+
+    params = cfg.dataset.params
+    name = cfg.dataset.name
+
+    if name == "coco":
+        train_ds = CocoCaptions(cfg, "train2017", is_train=True)
+        if params.get("train_test_split"):
+            train_ds, val_ds = random_split(
+                train_ds, float(params.train_test_split),
+                seed=int(cfg.training.get("seed", 0) or 0),
+            )
+        else:
+            val_ds = CocoCaptions(cfg, "val2017", is_train=False)
+    elif name == "imagenet":
+        ds = ImageFolder(params.train_path, get_transform(cfg, True))
+        if not params.get("train_test_split"):
+            raise ValueError("train_test_split required for imagenet")
+        train_ds, val_ds = random_split(
+            ds, float(params.train_test_split),
+            seed=int(cfg.training.get("seed", 0) or 0),
+        )
+    elif name == "synthetic":
+        pp = cfg.dataset.preprocessing
+        n = min(int(cfg.experiment.max_train_examples), 64)
+        with_captions = params.get("with_captions", True)
+        train_ds = SyntheticImages(n, int(pp.resolution), with_captions)
+        val_ds = SyntheticImages(max(n // 4, 2), int(pp.resolution),
+                                 with_captions, seed=10_000)
+    else:
+        raise ValueError(f"unknown dataset {name!r}")
+
+    train_dl = DataLoader(train_ds, int(params.batch_size),
+                          shuffle=bool(params.get("shuffle", True)))
+    val_dl = DataLoader(val_ds, int(params.batch_size), shuffle=False,
+                        drop_last=False)
+    return train_dl, val_dl

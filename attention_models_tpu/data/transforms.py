@@ -1,0 +1,81 @@
+"""Host-side image preprocessing with the reference's exact semantics
+(/root/reference/datasets/transforms.py:12-35):
+
+resize shorter side to int(resolution/scale) (bilinear; eval forces
+scale=1.0) → train: [RandomCrop] [RandomHorizontalFlip] [CenterCrop] per cfg
+flags / eval: CenterCrop → float32 CHW in [0,1] → optional mean/std
+normalize. The shipped configs set mean:null, so images stay in [0,1].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+def _resize_shorter(img, target: int):
+    w, h = img.size
+    if w <= h:
+        nw, nh = target, max(1, round(h * target / w))
+    else:
+        nw, nh = max(1, round(w * target / h)), target
+    return img.resize((nw, nh), Image.BILINEAR)
+
+
+def _center_crop(arr: np.ndarray, size: int) -> np.ndarray:
+    h, w = arr.shape[:2]
+    top = max((h - size) // 2, 0)
+    left = max((w - size) // 2, 0)
+    return arr[top : top + size, left : left + size]
+
+
+def _random_crop(arr: np.ndarray, size: int, rng: np.random.Generator):
+    h, w = arr.shape[:2]
+    top = int(rng.integers(0, max(h - size, 0) + 1))
+    left = int(rng.integers(0, max(w - size, 0) + 1))
+    return arr[top : top + size, left : left + size]
+
+
+class Transform:
+    def __init__(self, cfg, is_train: bool = True, seed: int = 0):
+        pp = cfg.dataset.preprocessing
+        self.size = int(pp.resolution)
+        scale = float(pp.scale) if is_train else 1.0
+        self.resize_to = int(self.size / scale)
+        self.is_train = is_train
+        self.random_crop = bool(pp.get("random_crop")) and is_train
+        self.random_flip = bool(pp.get("random_flip")) and is_train
+        self.center_crop_train = bool(pp.get("center_crop")) and is_train
+        self.mean = pp.get("mean")
+        self.std = pp.get("std")
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, img) -> np.ndarray:
+        """PIL image -> float32 (3, size, size) in [0,1] (or normalized)."""
+        img = img.convert("RGB")
+        img = _resize_shorter(img, self.resize_to)
+        arr = np.asarray(img, np.uint8)
+        if self.is_train:
+            if self.random_crop:
+                arr = _random_crop(arr, self.size, self.rng)
+            if self.random_flip and self.rng.random() < 0.5:
+                arr = arr[:, ::-1]
+            if self.center_crop_train:
+                arr = _center_crop(arr, self.size)
+        else:
+            arr = _center_crop(arr, self.size)
+        out = arr.astype(np.float32) / 255.0
+        out = np.transpose(out, (2, 0, 1))  # CHW like the reference
+        if self.mean:
+            mean = np.asarray(self.mean, np.float32).reshape(-1, 1, 1)
+            std = np.asarray(self.std, np.float32).reshape(-1, 1, 1)
+            out = (out - mean) / std
+        return np.ascontiguousarray(out)
+
+
+def get_transform(cfg, is_train: bool = True, seed: int = 0) -> Transform:
+    return Transform(cfg, is_train, seed)

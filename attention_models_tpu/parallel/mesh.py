@@ -45,7 +45,11 @@ def create_mesh(
         data = n // model
     if data * model != n:
         raise ValueError(f"mesh {data}x{model} != {n} devices")
-    return jax.make_mesh((data, model), (DATA_AXIS, MODEL_AXIS), devices=devices)
+    # Auto axis types: let GSPMD propagate shardings through reshapes etc.
+    return jax.make_mesh(
+        (data, model), (DATA_AXIS, MODEL_AXIS), devices=devices,
+        axis_types=(jax.sharding.AxisType.Auto, jax.sharding.AxisType.Auto),
+    )
 
 
 def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:

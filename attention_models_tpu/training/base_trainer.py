@@ -1,0 +1,121 @@
+"""Base trainer: the TPU-native replacement for the reference's
+Accelerate-backed BaseTrainer (/root/reference/trainers/utils/base_trainer.py).
+
+Responsibilities: device mesh + batch sharding (data parallelism — grads are
+averaged by XLA inside the jitted step, replacing DDP all-reduce), host PRNG,
+metrics writer, orbax checkpointing of the FULL train state, output dirs, and
+the save/sample/eval/log cadence driven by the ``experiment.*`` keys. The
+reference's iters-per-epoch bugs (SURVEY.md §2.9#4-5) are fixed here once for
+every subclass."""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+
+import jax
+import numpy as np
+
+from attention_models_tpu.parallel import (
+    batch_sharding,
+    create_mesh,
+    replicated_sharding,
+)
+from attention_models_tpu.utils.checkpoint import CheckpointManager
+from attention_models_tpu.utils.metrics import MetricsWriter
+from attention_models_tpu.utils.prng import RngStream
+
+log = logging.getLogger(__name__)
+
+
+class BaseTrainer:
+    def __init__(self, cfg, model, dataloaders, pretrained_patches=None):
+        self.cfg = cfg
+        self.model = model
+        self.pretrained_patches = pretrained_patches or {}
+        self.train_dl, self.val_dl = dataloaders
+        self.project_name = cfg.experiment.project_name
+        self.exp_name = cfg.experiment.exp_name
+
+        self.global_step = 0
+        self.num_epoch = int(cfg.training.num_epochs)
+        self.gradient_accumulation_steps = int(
+            cfg.training.get("gradient_accumulation_steps", 1) or 1
+        )
+        self.batch_size = int(cfg.dataset.params.batch_size)
+        self.max_grad_norm = cfg.training.get("max_grad_norm")
+        self.save_every = int(cfg.experiment.save_every)
+        self.sample_every = int(cfg.experiment.sample_every)
+        self.log_every = int(cfg.experiment.log_every)
+        self.eval_every = int(cfg.experiment.eval_every)
+
+        # correct iters/epoch (fixes §2.9#4: reference never sets this attr)
+        eff_batch = self.batch_size * self.gradient_accumulation_steps
+        self.num_iters_per_epoch = max(
+            math.ceil(len(self.train_dl.dataset) / eff_batch), 1
+        )
+
+        tp = int(cfg.training.get("tensor_parallel", 1) or 1)
+        avail = len(jax.devices()) // tp
+        dp = math.gcd(self.batch_size, avail)  # data axis must divide batch
+        self.mesh = create_mesh(
+            data=dp, model=tp, devices=jax.devices()[: dp * tp]
+        )
+        self.data_sharding = batch_sharding(self.mesh)
+        self.rng = RngStream(int(cfg.training.get("seed", 42) or 42))
+
+        output_folder = f"outputs/{self.project_name}"
+        self.checkpoint_folder = os.path.join(output_folder, "checkpoints")
+        self.image_saved_dir = os.path.join(output_folder, "images")
+        os.makedirs(self.checkpoint_folder, exist_ok=True)
+        os.makedirs(self.image_saved_dir, exist_ok=True)
+
+        self.metrics = MetricsWriter(
+            output_folder, self.project_name, self.exp_name,
+            config=cfg.to_dict(),
+            enable_wandb=bool(cfg.experiment.get("wandb", False)),
+        )
+        self.ckpt = CheckpointManager(
+            os.path.join(self.checkpoint_folder,
+                         f"{self.project_name}_{self.exp_name}")
+        )
+
+        log.info("Train dataset size: %d", len(self.train_dl.dataset))
+        log.info("Val dataset size: %d", len(self.val_dl.dataset))
+        log.info("Effective iters/epoch: %d", self.num_iters_per_epoch)
+        log.info("Mesh: %s", dict(self.mesh.shape))
+
+    # -- helpers ----------------------------------------------------------------
+    def shard_batch(self, arr: np.ndarray):
+        arr = np.asarray(arr)
+        if arr.shape[0] % self.mesh.shape["data"]:
+            # ragged tail batch (eval, drop_last=False): replicate
+            return jax.device_put(arr, replicated_sharding(self.mesh))
+        return jax.device_put(arr, batch_sharding(self.mesh, arr.ndim))
+
+    def maybe_resume(self, state):
+        path = self.cfg.experiment.get("resume_path_from_checkpoint")
+        if path:
+            mgr = CheckpointManager(path) if os.path.isdir(path) else self.ckpt
+            restored = mgr.restore(state)
+            if restored is not None:
+                self.global_step = int(restored["step"])
+                return restored
+        elif self.ckpt.latest_step() is not None and self.cfg.experiment.get(
+            "auto_resume", False
+        ):
+            restored = self.ckpt.restore(state)
+            if restored is not None:
+                self.global_step = int(restored["step"])
+                return restored
+        return state
+
+    def save_ckpt(self, state, rewrite: bool = False):
+        self.ckpt.save(self.global_step, state)
+
+    def train(self):
+        raise NotImplementedError
+
+    def evaluate(self):
+        raise NotImplementedError

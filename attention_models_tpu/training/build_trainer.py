@@ -1,0 +1,25 @@
+"""Trainer dispatch (API parity with /root/reference/trainers/build_trainer.py:6-14)."""
+
+from __future__ import annotations
+
+
+def build_trainer(cfg, model, dataloaders, pretrained_patches=None):
+    from attention_models_tpu.training.generator_trainers import (
+        MaskGitTrainer,
+        MuseTrainer,
+    )
+    from attention_models_tpu.training.vit_trainer import VitTrainer
+    from attention_models_tpu.training.vqgan_trainer import VQGANTrainer
+
+    name = cfg.model.name
+    if name in ("vqgan", "vitvqgan"):
+        cls = VQGANTrainer
+    elif name == "muse":
+        cls = MuseTrainer
+    elif name in ("vit", "vit_moe"):
+        cls = VitTrainer
+    elif name == "maskgit":
+        cls = MaskGitTrainer
+    else:
+        raise ValueError(f"no trainer for model {name!r}")
+    return cls(cfg, model, dataloaders, pretrained_patches)

@@ -1,0 +1,220 @@
+"""Trainers for the token-space generators (API parity with
+/root/reference/trainers/muse.py:31-153 and maskgit.py:31-114): single
+optimizer with no-decay grouping for bias/LayerNorm/embeddings, frozen
+vq/text-encoder subtrees (zero-update optax masks instead of requires_grad
+flips), loss = model(batch), periodic prompt sampling / eval-generation
+grids."""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from attention_models_tpu.models.maskgit import MaskGitTransformer
+from attention_models_tpu.models.muse import MUSE
+from attention_models_tpu.models.text_encoder import tokenize
+from attention_models_tpu.training.base_trainer import BaseTrainer
+from attention_models_tpu.training.optim import build_optimizer
+from attention_models_tpu.training.schedules import build_schedule
+from attention_models_tpu.utils.checkpoint import apply_param_patches
+from attention_models_tpu.utils.metrics import save_image_grid
+
+log = logging.getLogger(__name__)
+
+PROMPTS_FILE = "data/prompts/dalle_prompts.txt"
+
+
+class _GeneratorTrainer(BaseTrainer):
+    """Shared loop; subclasses define _init_model_state and _loss signature."""
+
+    frozen_subtrees: tuple = ("vq",)
+
+    def __init__(self, cfg, model, dataloaders, pretrained_patches=None):
+        super().__init__(cfg, model, dataloaders, pretrained_patches)
+        self.schedule = build_schedule(cfg, self.num_iters_per_epoch)
+
+        variables = self._init_variables()
+        if self.pretrained_patches:
+            variables = apply_param_patches(variables, self.pretrained_patches)
+        self.tx = build_optimizer(
+            cfg, self.schedule, variables["params"],
+            frozen_subtrees=self.frozen_subtrees, no_decay_grouping=True,
+        )
+        self.state = {
+            "step": 0,
+            "params": variables["params"],
+            "opt": self.tx.init(variables["params"]),
+        }
+        self.state = self.maybe_resume(self.state)
+        self._build_steps()
+
+    # -- subclass hooks ---------------------------------------------------------
+    def _init_variables(self):
+        raise NotImplementedError
+
+    def _build_steps(self):
+        raise NotImplementedError
+
+    def _train_metrics(self, m):
+        return {"loss": float(m["loss"]),
+                "lr": float(self.schedule(self.global_step))}
+
+
+class MaskGitTrainer(_GeneratorTrainer):
+    frozen_subtrees = ("vq",)
+
+    def _init_variables(self):
+        res = int(self.cfg.dataset.preprocessing.resolution)
+        dummy = jnp.zeros((1, 3, res, res), jnp.float32)
+        return self.model.init(self.rng(), dummy, self.rng(),
+                               method=MaskGitTransformer.init_all)
+
+    def _build_steps(self):
+        model_apply = self.model.apply
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state, img, rng):
+            mask_rng, drop_rng = jax.random.split(rng)
+
+            def loss_fn(params):
+                return model_apply(
+                    {"params": params}, img, mask_rng, deterministic=False,
+                    rngs={"dropout": drop_rng},
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+            updates, opt = self.tx.update(grads, state["opt"], state["params"])
+            return (
+                {"step": state["step"] + 1,
+                 "params": optax.apply_updates(state["params"], updates),
+                 "opt": opt},
+                {"loss": loss},
+            )
+
+        @jax.jit
+        def recon_step(params, img, rng):
+            return model_apply({"params": params}, img, rng,
+                               method=MaskGitTransformer.reconstruct)
+
+        self._train_step, self._recon_step = train_step, recon_step
+
+    def train(self):
+        start_epoch = self.global_step // max(len(self.train_dl), 1)
+        for _epoch in range(start_epoch, self.num_epoch):
+            for img, _ in self.train_dl:
+                img = self.shard_batch(img)
+                self.state, m = self._train_step(self.state, img, self.rng())
+                self._on_step(m)
+        log.info("Train finished!")
+
+    def _on_step(self, m):
+        if self.global_step and not self.global_step % self.save_every:
+            self.save_ckpt(self.state)
+        if self.global_step and not self.global_step % self.sample_every:
+            self.evaluate()
+        if not self.global_step % self.log_every:
+            self.metrics.log(self._train_metrics(m), self.global_step)
+        self.global_step += 1
+
+    def evaluate(self):
+        for i, (img, _) in enumerate(self.val_dl):
+            if i > 10:
+                break
+            rec = self._recon_step(
+                self.state["params"], self.shard_batch(img), self.rng()
+            )
+            save_image_grid(np.asarray(rec, np.float32),
+                            os.path.join(self.image_saved_dir, "step.png"))
+
+
+class MuseTrainer(_GeneratorTrainer):
+    frozen_subtrees = ("vq", "text_encoder")
+
+    def _init_variables(self):
+        res = int(self.cfg.dataset.preprocessing.resolution)
+        max_len = int(self.cfg.model.encoder.max_length)
+        dummy_img = jnp.zeros((1, 3, res, res), jnp.float32)
+        dummy_ids = jnp.zeros((1, max_len), jnp.int32)
+        return self.model.init(self.rng(), dummy_ids, dummy_img, self.rng(),
+                               method=MUSE.init_all)
+
+    def _build_steps(self):
+        model_apply = self.model.apply
+        self.max_length = int(self.cfg.model.encoder.max_length)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state, text_ids, img, rng):
+            step_rng, drop_rng = jax.random.split(rng)
+
+            def loss_fn(params):
+                return model_apply(
+                    {"params": params}, text_ids, img, step_rng,
+                    deterministic=False, rngs={"dropout": drop_rng},
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+            updates, opt = self.tx.update(grads, state["opt"], state["params"])
+            return (
+                {"step": state["step"] + 1,
+                 "params": optax.apply_updates(state["params"], updates),
+                 "opt": opt},
+                {"loss": loss},
+            )
+
+        @functools.partial(jax.jit, static_argnames=("timesteps",))
+        def generate_step(params, text_ids, rng, timesteps=18):
+            return model_apply({"params": params}, text_ids, rng,
+                               timesteps=timesteps, method=MUSE.generate)
+
+        self._train_step, self._generate_step = train_step, generate_step
+
+    def train(self):
+        start_epoch = self.global_step // max(len(self.train_dl), 1)
+        for _epoch in range(start_epoch, self.num_epoch):
+            for img, texts in self.train_dl:
+                ids = self.shard_batch(tokenize(list(texts), self.max_length))
+                img = self.shard_batch(img)
+                self.state, m = self._train_step(self.state, ids, img,
+                                                 self.rng())
+                if (self.global_step
+                        and not self.global_step % self.save_every):
+                    self.save_ckpt(self.state)
+                if (self.global_step
+                        and not self.global_step % self.sample_every):
+                    self.sample_prompts()
+                if (self.global_step
+                        and not self.global_step % self.eval_every):
+                    self.evaluate()
+                if not self.global_step % self.log_every:
+                    self.metrics.log(self._train_metrics(m), self.global_step)
+                self.global_step += 1
+        log.info("Train finished!")
+
+    def _prompts(self):
+        if os.path.exists(PROMPTS_FILE):
+            with open(PROMPTS_FILE) as f:
+                return [line.strip() for line in f if line.strip()]
+        return ["a photo of a cat", "a red stop sign"]
+
+    def sample_prompts(self):
+        prompts = self._prompts()
+        ids = jnp.array(tokenize(prompts, self.max_length))
+        imgs = self._generate_step(self.state["params"], ids, self.rng())
+        save_image_grid(np.asarray(imgs, np.float32),
+                        os.path.join(self.image_saved_dir, "step.png"))
+
+    def evaluate(self):
+        for i, (img, texts) in enumerate(self.val_dl):
+            if i > 3:
+                break
+            ids = jnp.array(tokenize(list(texts), self.max_length))
+            imgs = self._generate_step(self.state["params"], ids, self.rng())
+            save_image_grid(np.asarray(imgs, np.float32),
+                            os.path.join(self.image_saved_dir,
+                                         f"step_{i}.png"))

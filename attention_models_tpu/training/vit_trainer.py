@@ -1,0 +1,108 @@
+"""Classification trainer for ViT / ViT-MoE (API parity with
+/root/reference/trainers/vit.py:13-112): AdamW + HF cosine-with-warmup, CE
+loss, train/val accuracy logging. Device placement bugs of the reference
+(§2.9#6) don't exist here — the whole batch is sharded onto the mesh."""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from attention_models_tpu.training.base_trainer import BaseTrainer
+from attention_models_tpu.training.optim import build_optimizer
+from attention_models_tpu.training.schedules import cosine_with_warmup
+
+log = logging.getLogger(__name__)
+
+
+class VitTrainer(BaseTrainer):
+    def __init__(self, cfg, model, dataloaders, pretrained_patches=None):
+        super().__init__(cfg, model, dataloaders, pretrained_patches)
+
+        lr = float(cfg.optimizer.params.learning_rate)
+        warmup = int(cfg.lr_scheduler.params.warmup_steps)
+        total = self.num_epoch * max(len(self.train_dl), 1)
+        self.schedule = cosine_with_warmup(lr, warmup, total)
+
+        res = int(cfg.dataset.preprocessing.resolution)
+        dummy = jnp.zeros((1, 3, res, res), jnp.float32)
+        variables = self.model.init(self.rng(), dummy)
+        self.tx = build_optimizer(cfg, self.schedule, variables["params"])
+        self.state = {
+            "step": 0,
+            "params": variables["params"],
+            "opt": self.tx.init(variables["params"]),
+        }
+        self.state = self.maybe_resume(self.state)
+
+        model_apply = self.model.apply
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state, img, target, rng):
+            def loss_fn(params):
+                logits = model_apply(
+                    {"params": params}, img, deterministic=False,
+                    rngs={"dropout": rng},
+                )
+                loss = optax.softmax_cross_entropy_with_integer_labels(
+                    logits.astype(jnp.float32), target
+                ).mean()
+                return loss, logits
+
+            (loss, logits), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state["params"])
+            updates, opt = self.tx.update(grads, state["opt"], state["params"])
+            acc = jnp.mean((jnp.argmax(logits, -1) == target).astype(jnp.float32))
+            state = {
+                "step": state["step"] + 1,
+                "params": optax.apply_updates(state["params"], updates),
+                "opt": opt,
+            }
+            return state, {"loss": loss, "acc": acc}
+
+        @jax.jit
+        def eval_step(params, img, target):
+            logits = model_apply({"params": params}, img)
+            return jnp.mean((jnp.argmax(logits, -1) == target).astype(jnp.float32))
+
+        self._train_step, self._eval_step = train_step, eval_step
+
+    def train(self):
+        start_epoch = self.global_step // max(len(self.train_dl), 1)
+        for _epoch in range(start_epoch, self.num_epoch):
+            for img, target in self.train_dl:
+                img = self.shard_batch(img)
+                target = self.shard_batch(np.asarray(target))
+                self.state, m = self._train_step(self.state, img, target,
+                                                 self.rng())
+                if self.global_step and not self.global_step % self.save_every:
+                    self.save_ckpt(self.state)
+                if self.global_step and not self.global_step % self.eval_every:
+                    self.evaluate()
+                if not self.global_step % self.log_every:
+                    self.metrics.log(
+                        {"loss": float(m["loss"]), "acc": float(m["acc"]),
+                         "lr": float(self.schedule(self.global_step))},
+                        self.global_step,
+                    )
+                self.global_step += 1
+        log.info("Train finished!")
+
+    def evaluate(self):
+        accs = []
+        for img, target in self.val_dl:
+            acc = self._eval_step(
+                self.state["params"], self.shard_batch(img),
+                self.shard_batch(np.asarray(target)),
+            )
+            accs.append(float(acc))
+        if accs:
+            self.metrics.log({"val_acc": float(np.mean(accs))},
+                             self.global_step)
+        log.info("Validation finished!")

@@ -1,0 +1,219 @@
+"""GAN trainer for vqgan / vitvqgan (API parity with
+/root/reference/trainers/vitgqgan.py:45-231).
+
+Structure per batch mirrors the reference exactly: a discriminator phase
+(hinge loss + WGAN-GP on the interpolated images) followed by a generator
+phase (codebook + 0.1·adv + w·LPIPS + w·L1 + L2, cfg/vitvqgan.yaml:66-69) —
+each phase its own jitted step. The reference's Python-side
+``requires_grad_`` flipping becomes two separate loss functions
+differentiated wrt their own params (the other side is simply not
+differentiated); DDP-allreduce-in-backward becomes data-sharded batches under
+jit (XLA inserts the gradient psum).
+
+Known deviations (documented): GP runs the discriminator with eval-mode
+BatchNorm statistics (second-order autodiff through mutable batch stats is
+ill-defined); LPIPS uses the native flax tower (training/losses.py) which
+equals published LPIPS only when converted pretrained weights are supplied.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from attention_models_tpu.models.discriminator import NLayerDiscriminator
+from attention_models_tpu.training.base_trainer import BaseTrainer
+from attention_models_tpu.training.losses import (
+    LPIPS,
+    g_nonsaturating_loss,
+    gradient_penalty,
+    hinge_d_loss,
+)
+from attention_models_tpu.training.optim import build_optimizer
+from attention_models_tpu.training.schedules import timm_cosine
+from attention_models_tpu.utils.checkpoint import apply_param_patches
+from attention_models_tpu.utils.metrics import save_image_grid
+
+log = logging.getLogger(__name__)
+
+
+class VQGANTrainer(BaseTrainer):
+    def __init__(self, cfg, model, dataloaders, pretrained_patches=None):
+        super().__init__(cfg, model, dataloaders, pretrained_patches)
+
+        lr = float(cfg.optimizer.params.learning_rate)
+        warmup = int(cfg.lr_scheduler.params.warmup_steps)
+        decay = cfg.lr_scheduler.params.get("decay_steps")
+        total_iters = int(decay) if decay else (
+            self.num_epoch * self.num_iters_per_epoch
+        )
+        self.schedule = timm_cosine(lr, total_iters, warmup)
+
+        self.discr = NLayerDiscriminator(input_nc=3, ndf=64, n_layers=3)
+        self.lpips = LPIPS()
+
+        self.per_loss_weight = float(cfg.losses.per_loss_weight)
+        self.adv_loss_weight = float(cfg.losses.adv_loss_weight)
+        self.logit_laplace_weight = float(cfg.losses.logit_laplace_weight)
+
+        # --- init all states -------------------------------------------------
+        res = int(cfg.dataset.preprocessing.resolution)
+        dummy = jnp.zeros((1, 3, res, res), jnp.float32)
+        g_params = self.model.init(self.rng(), dummy)
+        if self.pretrained_patches:
+            g_params = apply_param_patches(g_params, self.pretrained_patches)
+        d_vars = self.discr.init(self.rng(), dummy, train=False)
+        lpips_params = self.lpips.init(self.rng(), dummy, dummy)
+
+        g_tx = build_optimizer(cfg, self.schedule, g_params["params"])
+        d_tx = build_optimizer(cfg, self.schedule, d_vars["params"])
+
+        self.state = {
+            "step": 0,
+            "g_params": g_params["params"],
+            "g_opt": g_tx.init(g_params["params"]),
+            "d_params": d_vars["params"],
+            "d_stats": d_vars.get("batch_stats", {}),
+            "d_opt": d_tx.init(d_vars["params"]),
+        }
+        self.lpips_params = lpips_params
+        self.g_tx, self.d_tx = g_tx, d_tx
+        self.state = self.maybe_resume(self.state)
+
+        model_apply = self.model.apply
+        discr_apply = self.discr.apply
+        lpips_apply = self.lpips.apply
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def d_step(state, img, rng):
+            rec, _ = model_apply({"params": state["g_params"]}, img)
+            rec = jax.lax.stop_gradient(rec)
+
+            def loss_fn(d_params):
+                fake, upd = discr_apply(
+                    {"params": d_params, "batch_stats": state["d_stats"]},
+                    rec, train=True, mutable=["batch_stats"],
+                )
+                real, upd = discr_apply(
+                    {"params": d_params, "batch_stats": upd["batch_stats"]},
+                    img, train=True, mutable=["batch_stats"],
+                )
+                gp = gradient_penalty(
+                    lambda x: discr_apply(
+                        {"params": d_params,
+                         "batch_stats": state["d_stats"]},
+                        x, train=False,
+                    ),
+                    rng, img, rec,
+                )
+                loss = hinge_d_loss(fake, real) + gp
+                return loss, (upd["batch_stats"], gp)
+
+            (d_loss, (stats, gp)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state["d_params"])
+            updates, d_opt = self.d_tx.update(
+                grads, state["d_opt"], state["d_params"]
+            )
+            state = {
+                **state,
+                "d_params": optax.apply_updates(state["d_params"], updates),
+                "d_stats": stats,
+                "d_opt": d_opt,
+            }
+            return state, {"d_loss": d_loss, "gp": gp}
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def g_step(state, img):
+            def loss_fn(g_params):
+                rec, codebook_loss = model_apply({"params": g_params}, img)
+                l1 = jnp.mean(jnp.abs(rec - img))
+                l2 = jnp.mean((rec - img) ** 2)
+                per = jnp.mean(
+                    lpips_apply(self.lpips_params, rec.astype(jnp.float32),
+                                img.astype(jnp.float32))
+                )
+                fake = discr_apply(
+                    {"params": state["d_params"],
+                     "batch_stats": state["d_stats"]},
+                    rec, train=False,
+                )
+                adv = g_nonsaturating_loss(fake)
+                loss = (
+                    codebook_loss
+                    + self.adv_loss_weight * adv
+                    + self.per_loss_weight * per
+                    + self.logit_laplace_weight * l1
+                    + l2
+                )
+                return loss, {
+                    "codebook_loss": codebook_loss, "g_loss": adv,
+                    "per_loss": per, "logit_laplace": l1, "l2_loss": l2,
+                }
+
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["g_params"]
+            )
+            updates, g_opt = self.g_tx.update(
+                grads, state["g_opt"], state["g_params"]
+            )
+            state = {
+                **state,
+                "g_params": optax.apply_updates(state["g_params"], updates),
+                "g_opt": g_opt,
+                "step": state["step"] + 1,
+            }
+            return state, aux
+
+        self._d_step, self._g_step = d_step, g_step
+
+        @jax.jit
+        def recon(g_params, img):
+            return model_apply({"params": g_params}, img)[0]
+
+        self._recon = recon
+
+    def train(self):
+        start_epoch = self.global_step // max(len(self.train_dl), 1)
+        for _epoch in range(start_epoch, self.num_epoch):
+            for batch in self.train_dl:
+                img = batch[0] if isinstance(batch, (tuple, list)) else batch
+                img = self.shard_batch(img)
+
+                self.state, d_metrics = self._d_step(self.state, img,
+                                                     self.rng())
+                self.state, g_metrics = self._g_step(self.state, img)
+
+                if self.global_step and not self.global_step % self.save_every:
+                    self.save_ckpt(self.state)
+                if (self.global_step
+                        and not self.global_step % self.sample_every):
+                    self.evaluate()
+                if not self.global_step % self.log_every:
+                    lr = float(self.schedule(self.global_step))
+                    self.metrics.log(
+                        {"g_lr": lr, "d_lr": lr, **{
+                            k: float(v) for k, v in
+                            {**d_metrics, **g_metrics}.items()
+                        }},
+                        self.global_step,
+                    )
+                self.global_step += 1
+        log.info("Train finished!")
+
+    def evaluate(self):
+        for i, batch in enumerate(self.val_dl):
+            if i == 10:
+                break
+            img = batch[0] if isinstance(batch, (tuple, list)) else batch
+            rec = self._recon(self.state["g_params"], self.shard_batch(img))
+            pair = np.stack([np.asarray(img), np.asarray(rec, np.float32)], 1)
+            pair = pair.reshape(-1, *pair.shape[2:])
+            save_image_grid(
+                pair, f"{self.image_saved_dir}/step_{i}.png", nrow=6
+            )

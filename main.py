@@ -1,0 +1,42 @@
+"""CLI entry point (API parity with /root/reference/main.py):
+
+    python main.py --config=cfg/vitvqgan.yaml [dotted.key=value ...]
+
+Builds model → data loaders → trainer from the YAML config (same schema as
+the reference) and runs training on the TPU mesh.
+"""
+
+import logging
+import sys
+
+from attention_models_tpu.data import build_loader
+from attention_models_tpu.models.factory import build_model
+from attention_models_tpu.parallel import runtime_init
+from attention_models_tpu.training import build_trainer
+from attention_models_tpu.utils.config import config_from_cli
+
+LEVELS = {
+    "debug": logging.DEBUG,
+    "info": logging.INFO,
+    "warning": logging.WARNING,
+    "error": logging.ERROR,
+}
+
+
+def main(argv):
+    cfg = config_from_cli(argv)
+    logging.basicConfig(
+        level=LEVELS[cfg.experiment.get("log_level", "info")],
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
+    runtime_init()
+
+    model, patches = build_model(cfg)
+    data_loaders = build_loader(cfg)
+    trainer = build_trainer(cfg, model, data_loaders,
+                            pretrained_patches=patches)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
