@@ -72,8 +72,10 @@ class MaskGitTrainer(_GeneratorTrainer):
     def _init_variables(self):
         res = int(self.cfg.dataset.preprocessing.resolution)
         dummy = jnp.zeros((1, 3, res, res), jnp.float32)
-        return self.model.init(self.rng(), dummy, self.rng(),
-                               method=MaskGitTransformer.init_all)
+        return jax.jit(
+            functools.partial(self.model.init,
+                              method=MaskGitTransformer.init_all)
+        )(self.rng(), dummy, self.rng())
 
     def _build_steps(self):
         model_apply = self.model.apply
@@ -141,8 +143,9 @@ class MuseTrainer(_GeneratorTrainer):
         max_len = int(self.cfg.model.encoder.max_length)
         dummy_img = jnp.zeros((1, 3, res, res), jnp.float32)
         dummy_ids = jnp.zeros((1, max_len), jnp.int32)
-        return self.model.init(self.rng(), dummy_ids, dummy_img, self.rng(),
-                               method=MUSE.init_all)
+        return jax.jit(
+            functools.partial(self.model.init, method=MUSE.init_all)
+        )(self.rng(), dummy_ids, dummy_img, self.rng())
 
     def _build_steps(self):
         model_apply = self.model.apply

@@ -31,7 +31,7 @@ class VitTrainer(BaseTrainer):
 
         res = int(cfg.dataset.preprocessing.resolution)
         dummy = jnp.zeros((1, 3, res, res), jnp.float32)
-        variables = self.model.init(self.rng(), dummy)
+        variables = jax.jit(self.model.init)(self.rng(), dummy)
         self.tx = build_optimizer(cfg, self.schedule, variables["params"])
         self.state = {
             "step": 0,

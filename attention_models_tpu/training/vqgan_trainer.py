@@ -64,11 +64,13 @@ class VQGANTrainer(BaseTrainer):
         # --- init all states -------------------------------------------------
         res = int(cfg.dataset.preprocessing.resolution)
         dummy = jnp.zeros((1, 3, res, res), jnp.float32)
-        g_params = self.model.init(self.rng(), dummy)
+        g_params = jax.jit(self.model.init)(self.rng(), dummy)
         if self.pretrained_patches:
             g_params = apply_param_patches(g_params, self.pretrained_patches)
-        d_vars = self.discr.init(self.rng(), dummy, train=False)
-        lpips_params = self.lpips.init(self.rng(), dummy, dummy)
+        d_vars = jax.jit(
+            functools.partial(self.discr.init, train=False)
+        )(self.rng(), dummy)
+        lpips_params = jax.jit(self.lpips.init)(self.rng(), dummy, dummy)
 
         g_tx = build_optimizer(cfg, self.schedule, g_params["params"])
         d_tx = build_optimizer(cfg, self.schedule, d_vars["params"])
