@@ -5,4 +5,5 @@ from attention_models_tpu.training.vit_trainer import VitTrainer
 from attention_models_tpu.training.generator_trainers import (
     MaskGitTrainer,
     MuseTrainer,
+    PartiTrainer,
 )

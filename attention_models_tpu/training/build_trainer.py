@@ -7,6 +7,7 @@ def build_trainer(cfg, model, dataloaders, pretrained_patches=None):
     from attention_models_tpu.training.generator_trainers import (
         MaskGitTrainer,
         MuseTrainer,
+        PartiTrainer,
     )
     from attention_models_tpu.training.vit_trainer import VitTrainer
     from attention_models_tpu.training.vqgan_trainer import VQGANTrainer
@@ -20,6 +21,8 @@ def build_trainer(cfg, model, dataloaders, pretrained_patches=None):
         cls = VitTrainer
     elif name == "maskgit":
         cls = MaskGitTrainer
+    elif name == "parti":
+        cls = PartiTrainer
     else:
         raise ValueError(f"no trainer for model {name!r}")
     return cls(cfg, model, dataloaders, pretrained_patches)

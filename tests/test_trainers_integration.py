@@ -78,3 +78,9 @@ def test_vit_overfit_loss_decreases(tmp_path):
     logs = [l["loss"] for l in _losses(tmp_path, "vit_overfit") if "loss" in l]
     assert len(logs) > 10
     assert min(logs[-5:]) < logs[0], f"loss did not decrease: {logs[:3]} -> {logs[-3:]}"
+
+
+def test_parti_trainer_runs(tmp_path):
+    trainer, _ = _run("parti_overfit.yaml", tmp_path)
+    logs = _losses(tmp_path, "parti_overfit")
+    assert any("loss" in l for l in logs)
