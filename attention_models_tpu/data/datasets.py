@@ -21,8 +21,11 @@ class CocoCaptions:
     Truncated by experiment.max_train_examples like the reference (its
     overfit-N-examples mechanism, coco.py:27-28)."""
 
-    def __init__(self, cfg, data_type="train2017", is_train=True, seed=0):
+    def __init__(self, cfg, data_type="train2017", is_train=True, seed=0,
+                 raw=False):
         from PIL import Image  # noqa: F401 (fail early if missing)
+
+        self.raw = raw  # return decoded uint8 HWC (native batch pipeline)
 
         params = cfg.dataset.params
         root = params.train_path if is_train else params.val_path
@@ -51,6 +54,8 @@ class CocoCaptions:
         imgid = self.imgids[idx]
         img = Image.open(os.path.join(self.img_dir, self.file_by_imgid[imgid]))
         caption = str(self.rng.choice(self.captions[imgid]))
+        if self.raw:
+            return np.asarray(img.convert("RGB"), np.uint8), caption
         return self.transform(img), caption
 
 
@@ -59,7 +64,8 @@ class ImageFolder:
 
     EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
-    def __init__(self, root: str, transform: Transform):
+    def __init__(self, root: str, transform: Transform, raw: bool = False):
+        self.raw = raw
         classes = sorted(
             d for d in os.listdir(root)
             if os.path.isdir(os.path.join(root, d))
@@ -81,6 +87,8 @@ class ImageFolder:
         from PIL import Image
 
         path, label = self.samples[idx]
+        if self.raw:
+            return np.asarray(Image.open(path).convert("RGB"), np.uint8), label
         return self.transform(Image.open(path)), label
 
 

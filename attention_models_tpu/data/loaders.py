@@ -15,8 +15,11 @@ from typing import Iterator
 import numpy as np
 
 
-def _collate(items):
-    imgs = np.stack([it[0] for it in items])
+def _collate(items, batch_transform=None):
+    if batch_transform is not None:
+        imgs = batch_transform([it[0] for it in items])
+    else:
+        imgs = np.stack([it[0] for it in items])
     seconds = [it[1] for it in items]
     if isinstance(seconds[0], (int, np.integer)):
         return imgs, np.asarray(seconds, np.int32)
@@ -26,8 +29,9 @@ def _collate(items):
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True,
-                 prefetch: int = 2):
+                 prefetch: int = 2, batch_transform=None):
         self.dataset = dataset
+        self.batch_transform = batch_transform
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
@@ -61,7 +65,8 @@ class DataLoader:
         def produce():
             try:
                 for batch_idx in self._batch_indices():
-                    q.put(_collate([self.dataset[int(i)] for i in batch_idx]))
+                    q.put(_collate([self.dataset[int(i)] for i in batch_idx],
+                                   self.batch_transform))
             finally:
                 q.put(stop)
 
@@ -83,22 +88,29 @@ def build_loader(cfg):
         SyntheticImages,
         random_split,
     )
-    from attention_models_tpu.data.transforms import get_transform
+    from attention_models_tpu.data.transforms import (
+        NativeBatchTransform,
+        get_transform,
+    )
 
     params = cfg.dataset.params
     name = cfg.dataset.name
+    native = bool(params.get("native_pipeline", False))
+    train_bt = NativeBatchTransform(cfg, is_train=True) if native else None
+    val_bt = NativeBatchTransform(cfg, is_train=False) if native else None
 
     if name == "coco":
-        train_ds = CocoCaptions(cfg, "train2017", is_train=True)
+        train_ds = CocoCaptions(cfg, "train2017", is_train=True, raw=native)
         if params.get("train_test_split"):
             train_ds, val_ds = random_split(
                 train_ds, float(params.train_test_split),
                 seed=int(cfg.training.get("seed", 0) or 0),
             )
         else:
-            val_ds = CocoCaptions(cfg, "val2017", is_train=False)
+            val_ds = CocoCaptions(cfg, "val2017", is_train=False, raw=native)
     elif name == "imagenet":
-        ds = ImageFolder(params.train_path, get_transform(cfg, True))
+        ds = ImageFolder(params.train_path, get_transform(cfg, True),
+                         raw=native)
         if not params.get("train_test_split"):
             raise ValueError("train_test_split required for imagenet")
         train_ds, val_ds = random_split(
@@ -116,7 +128,8 @@ def build_loader(cfg):
         raise ValueError(f"unknown dataset {name!r}")
 
     train_dl = DataLoader(train_ds, int(params.batch_size),
-                          shuffle=bool(params.get("shuffle", True)))
+                          shuffle=bool(params.get("shuffle", True)),
+                          batch_transform=train_bt)
     val_dl = DataLoader(val_ds, int(params.batch_size), shuffle=False,
-                        drop_last=False)
+                        drop_last=False, batch_transform=val_bt)
     return train_dl, val_dl

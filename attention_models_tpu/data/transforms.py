@@ -79,3 +79,52 @@ class Transform:
 
 def get_transform(cfg, is_train: bool = True, seed: int = 0) -> Transform:
     return Transform(cfg, is_train, seed)
+
+
+class NativeBatchTransform:
+    """Batched native (C++) preprocessing: datasets hand over raw decoded
+    uint8 HWC images and the whole batch is resized/cropped/flipped/normalized
+    in one multithreaded native call (attention_models_tpu/native). Same
+    geometry semantics as ``Transform``; resize kernel is sample-based
+    bilinear (cv2-style) rather than PIL's antialiased filter — opt in via
+    ``dataset.params.native_pipeline: true``."""
+
+    def __init__(self, cfg, is_train: bool = True, seed: int = 0,
+                 num_threads: int = 0):
+        from attention_models_tpu.native import load_fast_image
+
+        if load_fast_image() is None:
+            raise RuntimeError("native fast_image library unavailable")
+        pp = cfg.dataset.preprocessing
+        self.size = int(pp.resolution)
+        scale = float(pp.scale) if is_train else 1.0
+        self.resize_to = int(self.size / scale)
+        self.is_train = is_train
+        self.random_crop = bool(pp.get("random_crop")) and is_train
+        self.random_flip = bool(pp.get("random_flip")) and is_train
+        self.rng = np.random.default_rng(seed)
+        self.num_threads = num_threads
+
+    def __call__(self, images: list) -> np.ndarray:
+        from attention_models_tpu.native import preprocess_batch
+
+        n = len(images)
+        tops = np.zeros(n, np.int32)
+        lefts = np.zeros(n, np.int32)
+        flips = np.zeros(n, np.uint8)
+        for i, im in enumerate(images):
+            h, w = im.shape[:2]
+            if w <= h:
+                rw, rh = self.resize_to, max(1, round(h * self.resize_to / w))
+            else:
+                rh, rw = self.resize_to, max(1, round(w * self.resize_to / h))
+            if self.random_crop:
+                tops[i] = self.rng.integers(0, max(rh - self.size, 0) + 1)
+                lefts[i] = self.rng.integers(0, max(rw - self.size, 0) + 1)
+            else:  # center crop
+                tops[i] = max((rh - self.size) // 2, 0)
+                lefts[i] = max((rw - self.size) // 2, 0)
+            if self.random_flip:
+                flips[i] = self.rng.random() < 0.5
+        return preprocess_batch(images, self.resize_to, self.size, tops,
+                                lefts, flips, self.num_threads)
