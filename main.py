@@ -30,6 +30,10 @@ def main(argv):
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
     runtime_init()
+    if cfg.training.get("debug_nans"):
+        from attention_models_tpu.utils.profiling import enable_nan_checks
+
+        enable_nan_checks(True)
 
     model, patches = build_model(cfg)
     data_loaders = build_loader(cfg)
