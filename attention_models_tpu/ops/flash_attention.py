@@ -177,8 +177,8 @@ def flash_attention(
     *,
     scale: float | None = None,
     causal: bool = False,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 1024,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Flash attention over (b, h, t, d) tensors. Differentiable."""

@@ -41,6 +41,9 @@ def time_fn(fn, *args, iters=20, warmup=2):
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from attention_models_tpu.models.vitvqgan import ViTVQGAN, vitvqgan_base
