@@ -96,11 +96,22 @@ def build_model(cfg):
             dtype=dtype,
         ), patches
 
-    if name == "muse":
-        vq_cfg = _vq_config(cfg)
-        vq_params = load_vq_checkpoint(
-            cfg.vitvqgan.get("checkpoint"), cfg.vitvqgan.transformer.depth
-        )
+    if name in ("muse", "muse_vqgan"):
+        # muse_vqgan: Muse over the CNN VQGAN tokenizer. The reference ships
+        # such configs (cfg_exp/muse_vqgan*.yaml) but its factory cannot
+        # build them (returns None, SURVEY.md §2.7) — supported here.
+        if name == "muse_vqgan" or "vitvqgan" not in cfg:
+            vq_cfg = dict(
+                kind="vqgan",
+                dim=cfg.codebook.codebook_dim,
+                codebook_size=cfg.codebook.codebook_size,
+            )
+            vq_params = None
+        else:
+            vq_cfg = _vq_config(cfg)
+            vq_params = load_vq_checkpoint(
+                cfg.vitvqgan.get("checkpoint"), cfg.vitvqgan.transformer.depth
+            )
         if vq_params is not None:
             patches["vq"] = vq_params
         d = cfg.model.decoder

@@ -20,7 +20,10 @@ import flax.linen as nn
 
 from attention_models_tpu.models.layers import GammaLayerNorm
 from attention_models_tpu.models.transformer import Encoder
-from attention_models_tpu.models.vitvqgan import ViTVQGAN
+from attention_models_tpu.models.vq_common import (
+    build_vq,
+    vq_num_patches,
+)
 from attention_models_tpu.ops.sampling import (
     cosine_schedule,
     cross_entropy_ignore_index,
@@ -84,11 +87,11 @@ class MaskGitTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.vq = ViTVQGAN(**self.vq_config, dtype=self.dtype)
+        self.vq = build_vq(self.vq_config, dtype=self.dtype)
         self.mask_token_id = self.vocab_size
         self.bidirectional_transformer = BiDirectionalTransformer(
             dim=self.dim, vocab_size=self.vocab_size,
-            num_patches=self.vq.num_patches,
+            num_patches=vq_num_patches(self.vq_config),
             n_heads=self.n_heads, d_head=self.d_head,
             dec_depth=self.dec_depth, mult=self.mult, dropout=self.dropout,
             dtype=self.dtype,
@@ -99,7 +102,8 @@ class MaskGitTransformer(nn.Module):
         alone never visits the VQ decoder): use as
         ``model.init(key, imgs, rng, method=MaskGitTransformer.init_all)``."""
         loss = self(imgs, rng, deterministic=True)
-        idx = jnp.zeros((imgs.shape[0], self.vq.num_patches), jnp.int32)
+        idx = jnp.zeros((imgs.shape[0], vq_num_patches(self.vq_config)),
+                        jnp.int32)
         self.vq.decode_indices(idx)
         return loss
 
@@ -144,7 +148,7 @@ class MaskGitTransformer(nn.Module):
         The loop re-masks the ``cosine(t)·num_masked`` lowest-confidence
         tokens each step, samples with top-k filtered gumbel noise annealed
         to greedy."""
-        n = self.vq.num_patches
+        n = vq_num_patches(self.vq_config)
         if imgs is None:
             ids = jnp.full((batch, n), self.mask_token_id, jnp.int32)
             base_mask = jnp.ones((batch, n), bool)  # everything re-maskable

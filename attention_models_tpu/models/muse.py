@@ -21,7 +21,11 @@ from attention_models_tpu.models.layers import GammaLayerNorm
 from attention_models_tpu.models.maskgit import trunc_normal02
 from attention_models_tpu.models.text_encoder import TextEncoder
 from attention_models_tpu.models.transformer import Decoder
-from attention_models_tpu.models.vitvqgan import ViTVQGAN
+from attention_models_tpu.models.vq_common import (
+    build_vq,
+    vq_codebook_size,
+    vq_num_patches,
+)
 from attention_models_tpu.ops.sampling import (
     cosine_schedule,
     cross_entropy_ignore_index,
@@ -93,12 +97,13 @@ class MUSE(nn.Module):
             clip_width=self.clip_width, clip_layers=self.clip_layers,
             clip_heads=self.clip_heads, dtype=self.dtype,
         )
-        self.vq = ViTVQGAN(**self.vq_config, dtype=self.dtype)
-        self.codebook_size = self.vq_config["codebook_params"]["codebook_size"]
+        self.vq = build_vq(self.vq_config, dtype=self.dtype)
+        self.codebook_size = vq_codebook_size(self.vq_config)
         self.mask_token_id = self.codebook_size
         self.decoder = BidirectionalDecoder(
             self.dim, self.codebook_size, self.n_heads, self.d_head,
-            self.depth, self.mult, self.dropout, self.vq.num_patches,
+            self.depth, self.mult, self.dropout,
+            vq_num_patches(self.vq_config),
             dtype=self.dtype,
         )
 
@@ -108,7 +113,8 @@ class MUSE(nn.Module):
     def init_all(self, text_ids, imgs, rng: jax.Array):
         """Init-time path touching every parameter (incl. the VQ decoder)."""
         loss = self(text_ids, imgs, rng, deterministic=True)
-        idx = jnp.zeros((imgs.shape[0], self.vq.num_patches), jnp.int32)
+        idx = jnp.zeros((imgs.shape[0], vq_num_patches(self.vq_config)),
+                        jnp.int32)
         self.vq.decode_indices(idx)
         return loss
 
@@ -144,7 +150,7 @@ class MUSE(nn.Module):
     ):
         gs = self.guidance_scale if guidance_scale is None else guidance_scale
         b = text_ids.shape[0]
-        n = self.vq.num_patches
+        n = vq_num_patches(self.vq_config)
         text_embeds = self.text_encoder(text_ids)
         null_embeds = jnp.zeros_like(text_embeds)
         # single 2b-batch forward per step instead of two b-batch forwards

@@ -23,16 +23,12 @@ from attention_models_tpu.models.layers import (
 )
 from attention_models_tpu.models.text_encoder import TextEncoder
 from attention_models_tpu.models.transformer import Decoder
-from attention_models_tpu.models.vitvqgan import ViTVQGAN
-from attention_models_tpu.models.vqgan import VQGAN
+from attention_models_tpu.models.vq_common import (
+    build_vq,
+    vq_codebook_size,
+    vq_num_patches,
+)
 from attention_models_tpu.ops.sampling import filter_logits, gumbel_argmax
-
-
-def parti_num_patches(vq_config: dict) -> int:
-    if vq_config.get("kind", "vqgan") == "vqgan":
-        return 16 * 16  # hardcoded like the reference CNN encoder
-    vp = vq_config["vit_params"]
-    return (vp["img_size"] // vp["patch_size"]) ** 2
 
 
 class Parti(nn.Module):
@@ -48,19 +44,9 @@ class Parti(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        cfg = dict(self.vq_config)
-        kind = cfg.pop("kind", "vqgan")
-        self.vq = (
-            VQGAN(**cfg, dtype=self.dtype)
-            if kind == "vqgan"
-            else ViTVQGAN(**cfg, dtype=self.dtype)
-        )
-        self.codebook_size = (
-            cfg["codebook_size"]
-            if kind == "vqgan"
-            else cfg["codebook_params"]["codebook_size"]
-        )
-        self.num_patches = parti_num_patches(self.vq_config)
+        self.vq = build_vq(self.vq_config, dtype=self.dtype)
+        self.codebook_size = vq_codebook_size(self.vq_config)
+        self.num_patches = vq_num_patches(self.vq_config)
 
         self.text_encoder = TextEncoder(
             self.dim, self.max_length, project=False,
@@ -153,7 +139,7 @@ def parti_generate(
     """AR generation with a KV cache: one jitted lax.fori_loop over
     num_patches single-token decoder steps, then VQ decode."""
     b = text_ids.shape[0]
-    n = parti_num_patches(model.vq_config)
+    n = vq_num_patches(model.vq_config)
 
     @jax.jit
     def run(variables, text_ids, rng):

@@ -15,7 +15,7 @@ def build_trainer(cfg, model, dataloaders, pretrained_patches=None):
     name = cfg.model.name
     if name in ("vqgan", "vitvqgan"):
         cls = VQGANTrainer
-    elif name == "muse":
+    elif name in ("muse", "muse_vqgan"):
         cls = MuseTrainer
     elif name in ("vit", "vit_moe"):
         cls = VitTrainer
