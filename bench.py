@@ -39,6 +39,73 @@ def time_fn(fn, *args, iters=20, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
+def _synth_params(model, init_fn, *init_args):
+    import jax
+    import jax.numpy as jnp
+
+    shapes = jax.eval_shape(init_fn, *init_args)
+    rs = np.random.RandomState(0)
+    return jax.tree.map(
+        lambda s: jnp.asarray(0.02 * rs.standard_normal(s.shape), s.dtype),
+        shapes,
+    )
+
+
+def _decode_latency_bench(log, time_fn):
+    """MaskGIT / Muse iterative decode at the reference inference configs
+    (maskgit: dim 512 depth 6; muse: dim 768 depth 16 heads 12 mult 8 —
+    inference scripts in /root/reference): jitted 18-step scan, per-step
+    latency includes Muse's CFG 2b-batch forward."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from attention_models_tpu.models.maskgit import MaskGitTransformer
+    from attention_models_tpu.models.muse import MUSE
+    from attention_models_tpu.models.text_encoder import tokenize
+
+    vq_cfg = dict(
+        vit_params=dict(dim=512, img_size=256, patch_size=8, n_heads=8,
+                        d_head=64, depth=6, mlp_dim=2048, dropout=0.0),
+        codebook_params=dict(codebook_size=8192, codebook_dim=32),
+    )
+    timesteps = 18
+    batch = 8
+
+    mg = MaskGitTransformer(dim=512, vq_config=vq_cfg, vocab_size=8192,
+                            n_heads=8, d_head=64, dec_depth=6, dropout=0.0,
+                            dtype=jnp.bfloat16)
+    mg_params = _synth_params(
+        mg,
+        functools.partial(mg.init, method=MaskGitTransformer.init_all),
+        jax.random.key(0), jnp.zeros((1, 3, 256, 256), jnp.bfloat16),
+        jax.random.key(1),
+    )
+    gen = jax.jit(functools.partial(
+        mg.apply, batch=batch, timesteps=timesteps, num_masked=1024,
+        method=MaskGitTransformer.generate,
+    ))
+    dt = time_fn(gen, mg_params, jax.random.key(2), iters=5)
+    log(f"maskgit generate b={batch} t={timesteps}: {dt * 1e3:.1f} ms total, "
+        f"{dt / timesteps * 1e3:.2f} ms/step")
+
+    muse = MUSE(dim=768, vq_config=vq_cfg, n_heads=12, d_head=64, depth=16,
+                mult=8, dropout=0.0, dtype=jnp.bfloat16)
+    ids = jnp.array(tokenize(["a stop sign"] * batch))
+    muse_params = _synth_params(
+        muse,
+        functools.partial(muse.init, method=MUSE.init_all),
+        jax.random.key(0), ids, jnp.zeros((1, 3, 256, 256), jnp.bfloat16),
+        jax.random.key(1),
+    )
+    mgen = jax.jit(functools.partial(muse.apply, timesteps=timesteps,
+                                     method=MUSE.generate))
+    dt = time_fn(mgen, muse_params, ids, jax.random.key(2), iters=5)
+    log(f"muse generate (CFG) b={batch} t={timesteps}: {dt * 1e3:.1f} ms "
+        f"total, {dt / timesteps * 1e3:.2f} ms/step")
+
+
 def main():
     import jax
 
@@ -81,7 +148,7 @@ def main():
             log(f"recon bs={bs}: failed ({type(e).__name__})")
             break
 
-    # ---- extra diagnostics: generator decode latency ------------------------ #
+    # ---- extra diagnostics: tokenizer encode + generator decode latency ----- #
     try:
         encode = jax.jit(
             lambda p, x: model.apply(p, x, method=ViTVQGAN.encode_imgs)
@@ -94,6 +161,11 @@ def main():
             f"({best_bs / dt_enc:.0f} imgs/s)")
     except Exception as e:
         log(f"encode bench failed: {e}")
+
+    try:
+        _decode_latency_bench(log, time_fn)
+    except Exception as e:
+        log(f"decode latency bench failed: {type(e).__name__}: {e}")
 
     print(json.dumps({
         "metric": "vitvqgan_256px_recon_throughput",
