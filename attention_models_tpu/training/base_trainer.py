@@ -94,25 +94,32 @@ class BaseTrainer:
             return jax.device_put(arr, replicated_sharding(self.mesh))
         return jax.device_put(arr, batch_sharding(self.mesh, arr.ndim))
 
+    def _with_rng(self, state):
+        return {**state, "host_rng": jax.random.key_data(self.rng.fold_in(0))}
+
     def maybe_resume(self, state):
+        """Full-state resume: params, optimizer, step AND host PRNG (the
+        reference restores weights+step only, SURVEY.md §5-checkpoint)."""
         path = self.cfg.experiment.get("resume_path_from_checkpoint")
+        mgr = None
         if path:
             mgr = CheckpointManager(path) if os.path.isdir(path) else self.ckpt
-            restored = mgr.restore(state)
-            if restored is not None:
-                self.global_step = int(restored["step"])
-                return restored
         elif self.ckpt.latest_step() is not None and self.cfg.experiment.get(
             "auto_resume", False
         ):
-            restored = self.ckpt.restore(state)
+            mgr = self.ckpt
+        if mgr is not None:
+            restored = mgr.restore(self._with_rng(state))
             if restored is not None:
                 self.global_step = int(restored["step"])
+                rng_data = restored.pop("host_rng", None)
+                if rng_data is not None:
+                    self.rng = RngStream(jax.random.wrap_key_data(rng_data))
                 return restored
         return state
 
     def save_ckpt(self, state, rewrite: bool = False):
-        self.ckpt.save(self.global_step, state)
+        self.ckpt.save(self.global_step, self._with_rng(state))
 
     def train(self):
         raise NotImplementedError

@@ -360,3 +360,22 @@ def convert_hf_clip_text(sd: Mapping, layers: int = 12) -> dict:
             "fc2": _lin(sd, f"{lp}.mlp.fc2"),
         }
     return out
+
+
+def convert_vgg16_lpips(vgg_sd: Mapping, lin_sd: Mapping | None = None) -> dict:
+    """torchvision VGG16 ``features`` conv weights (+ optional lpips 'lin'
+    1x1 heads) -> training/losses.LPIPS params. torchvision feature indices
+    of the 13 convs: 0,2,5,7,10,12,14,17,19,21,24,26,28."""
+    conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    vgg = {}
+    for i, ti in enumerate(conv_idx):
+        vgg[f"conv{i}"] = _conv(vgg_sd, f"features.{ti}")
+    out = {"vgg": vgg}
+    if lin_sd is not None:
+        # lpips keys: lin{k}.model.1.weight, shape (1, C, 1, 1)
+        for k in range(5):
+            w = lin_sd[f"lin{k}.model.1.weight"]
+            out[f"lin{k}"] = {
+                "kernel": np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+            }
+    return out

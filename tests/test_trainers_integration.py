@@ -6,6 +6,8 @@ main-path code (config -> factory -> loader -> trainer.train())."""
 import json
 import os
 
+import jax
+
 import pytest
 
 from attention_models_tpu.data import build_loader
@@ -84,3 +86,46 @@ def test_parti_trainer_runs(tmp_path):
     trainer, _ = _run("parti_overfit.yaml", tmp_path)
     logs = _losses(tmp_path, "parti_overfit")
     assert any("loss" in l for l in logs)
+
+
+def test_trainer_checkpoint_resume(tmp_path):
+    """Save at step N, resume in a fresh trainer, continue training."""
+    import numpy as np
+
+    trainer, cfg = _run("vit_overfit.yaml", tmp_path,
+                        **{"experiment.save_every": 2,
+                           "training.num_epochs": 3})
+    saved_step = trainer.ckpt.latest_step()
+    assert saved_step is not None
+    w_before = np.asarray(
+        jax.tree_util.tree_leaves(trainer.state["params"])[0]
+    )
+
+    # fresh trainer resuming from the same checkpoint dir
+    cfg2 = load_config(os.path.join(CFG_DIR, "vit_overfit.yaml"))
+    cfg2.set_path("experiment.save_every", 2)
+    cfg2.set_path("experiment.auto_resume", True)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        model, patches = build_model(cfg2)
+        loaders = build_loader(cfg2)
+        trainer2 = build_trainer(cfg2, model, loaders,
+                                 pretrained_patches=patches)
+        # the state's internal step counter increments before the periodic
+        # save fires, so the restored counter may be save-label + 1
+        assert saved_step <= trainer2.global_step <= saved_step + 1
+        w_after = np.asarray(
+            jax.tree_util.tree_leaves(trainer2.state["params"])[0]
+        )
+        restored_leaf = np.asarray(
+            jax.tree_util.tree_leaves(trainer2.state["params"])[0]
+        )
+        # restored params equal the saved trainer's params at that step only
+        # if no further steps ran after save; just check they're finite and
+        # the step counter carried over
+        assert np.all(np.isfinite(restored_leaf))
+        trainer2.train()  # continues without error
+        assert trainer2.global_step > saved_step
+    finally:
+        os.chdir(cwd)
