@@ -129,3 +129,18 @@ def test_trainer_checkpoint_resume(tmp_path):
         assert trainer2.global_step > saved_step
     finally:
         os.chdir(cwd)
+
+
+def test_gradient_accumulation(tmp_path):
+    """optax.MultiSteps path: params change only every k micro-steps."""
+    import numpy as np
+
+    trainer, _ = _run(
+        "vit_overfit.yaml", tmp_path,
+        **{"training.gradient_accumulation_steps": 2,
+           "training.num_epochs": 1,
+           "experiment.max_train_examples": 8,
+           "dataset.params.batch_size": 4},
+    )
+    # 2 batches -> 1 full optimizer step; training completed without error
+    assert trainer.global_step == 2
