@@ -18,6 +18,18 @@ from attention_models_tpu.ops.flash_attention import flash_attention, flash_supp
 from attention_models_tpu.ops.moe import _combine_weights, moe_linear_scatter, topk_gate
 
 
+_TP_MODE = False
+
+
+def set_tensor_parallel_mode(enabled: bool) -> None:
+    """When the model axis is sharded (tensor parallelism), route attention
+    through the XLA path: GSPMD partitions plain einsums automatically,
+    whereas a pallas_call would need an explicit shard_map wrapper (planned;
+    the trainers flip this flag from the mesh shape)."""
+    global _TP_MODE
+    _TP_MODE = enabled
+
+
 def _dispatch_attention(
     q, k, v, *, scale, causal, causal_mask, context_mask, use_flash
 ):
@@ -25,7 +37,8 @@ def _dispatch_attention(
     shapes tile; the reference-semantics XLA path otherwise."""
     if use_flash is None:
         use_flash = (
-            context_mask is None
+            not _TP_MODE
+            and context_mask is None
             and causal_mask is None  # explicit mask tensors go XLA
             and flash_supported(q.shape, k.shape)
         )

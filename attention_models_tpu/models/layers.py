@@ -26,7 +26,8 @@ from attention_models_tpu.ops.codebook import l2_normalize
 
 
 class GammaLayerNorm(nn.Module):
-    """LayerNorm with learnable scale only; bias frozen at zero."""
+    """LayerNorm with learnable scale only; bias frozen at zero. fp32
+    statistics; single-HBM-pass Pallas kernel on TPU (ops/layernorm.py)."""
 
     dim: int
     eps: float = 1e-5
@@ -34,16 +35,15 @@ class GammaLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from attention_models_tpu.ops.layernorm import layernorm
+
         gamma = self.param("gamma", nn.initializers.ones, (self.dim,), jnp.float32)
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.var(xf, axis=-1, keepdims=True)
-        y = (xf - mean) / jnp.sqrt(var + self.eps)
-        return (y * gamma).astype(self.dtype)
+        return layernorm(x, gamma, None, eps=self.eps).astype(self.dtype)
 
 
 class LayerNorm(nn.Module):
-    """Standard LayerNorm (learnable scale and bias), torch semantics."""
+    """Standard LayerNorm (learnable scale and bias), torch semantics. fp32
+    statistics; single-HBM-pass Pallas kernel on TPU (ops/layernorm.py)."""
 
     dim: int
     eps: float = 1e-5
@@ -51,13 +51,11 @@ class LayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from attention_models_tpu.ops.layernorm import layernorm
+
         gamma = self.param("gamma", nn.initializers.ones, (self.dim,), jnp.float32)
         beta = self.param("beta", nn.initializers.zeros, (self.dim,), jnp.float32)
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.var(xf, axis=-1, keepdims=True)
-        y = (xf - mean) / jnp.sqrt(var + self.eps)
-        return (y * gamma + beta).astype(self.dtype)
+        return layernorm(x, gamma, beta, eps=self.eps).astype(self.dtype)
 
 
 def geglu(x: jnp.ndarray) -> jnp.ndarray:

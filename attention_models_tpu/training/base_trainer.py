@@ -62,6 +62,12 @@ class BaseTrainer:
         self.mesh = create_mesh(
             data=dp, model=tp, devices=jax.devices()[: dp * tp]
         )
+        if tp > 1:
+            from attention_models_tpu.models.attention import (
+                set_tensor_parallel_mode,
+            )
+
+            set_tensor_parallel_mode(True)
         self.data_sharding = batch_sharding(self.mesh)
         self.rng = RngStream(int(cfg.training.get("seed", 42) or 42))
 
