@@ -141,6 +141,7 @@ class MaskGitTransformer(nn.Module):
         num_masked: int = 200,
         timesteps: int = 18,
         filter_p: float = 0.9,
+        approx_topk: bool = True,
     ):
         """maskgit.py:191-288 minus the cv2 debug output. From scratch
         (imgs=None): start all-mask. Inpainting: encode ``imgs`` and mask the
@@ -174,7 +175,10 @@ class MaskGitTransformer(nn.Module):
             logits = self.bidirectional_transformer(x)
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             temperature = steps_left.astype(jnp.float32) / timesteps
-            pred = gumbel_argmax(rng_t, filter_logits(logits, filter_p), temperature)
+            pred = gumbel_argmax(
+                rng_t, filter_logits(logits, filter_p, approx=approx_topk),
+                temperature,
+            )
             ids = jnp.where(mask, pred, ids)
             new_scores = jnp.take_along_axis(probs, pred[..., None], axis=-1)[..., 0]
             scores = jnp.where(mask, new_scores, 1.0)

@@ -147,7 +147,12 @@ class MUSE(nn.Module):
         timesteps: int = 18,
         filter_p: float = 0.9,
         guidance_scale: float | None = None,
+        approx_topk: bool = True,
     ):
+        """``approx_topk`` uses lax.approx_max_k for the top-count logit
+        filter (~25% of step time when exact; negligible distribution change
+        — see ops/sampling.filter_logits). Pass False for exact reference
+        semantics."""
         gs = self.guidance_scale if guidance_scale is None else guidance_scale
         b = text_ids.shape[0]
         n = vq_num_patches(self.vq_config)
@@ -178,7 +183,8 @@ class MUSE(nn.Module):
             probs = jax.nn.softmax(scaled, axis=-1)
             temperature = steps_left.astype(jnp.float32) / timesteps
             pred = gumbel_argmax(
-                rng_t, filter_logits(scaled, filter_p), temperature
+                rng_t, filter_logits(scaled, filter_p, approx=approx_topk),
+                temperature,
             )
             ids = jnp.where(mask, pred, ids)
             scores = jnp.take_along_axis(probs, pred[..., None], axis=-1)[..., 0]

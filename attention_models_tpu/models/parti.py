@@ -135,6 +135,7 @@ def parti_generate(
     text_ids,
     rng: jax.Array,
     filter_p: float = 0.9,
+    approx_topk: bool = True,
 ) -> jnp.ndarray:
     """AR generation with a KV cache: one jitted lax.fori_loop over
     num_patches single-token decoder steps, then VQ decode."""
@@ -161,7 +162,9 @@ def parti_generate(
                 method=Parti.decode_step, mutable=["cache"],
             )
             nxt = gumbel_argmax(
-                rngs[i], filter_logits(logits[:, -1, :], filter_p), 1.0
+                rngs[i],
+                filter_logits(logits[:, -1, :], filter_p, approx=approx_topk),
+                1.0,
             )  # (b,)
             indices = jax.lax.dynamic_update_slice(indices, nxt[:, None], (0, i))
             tok = model.apply(
