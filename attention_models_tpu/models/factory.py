@@ -129,6 +129,7 @@ def build_model(cfg):
             clip_width=e.get("width", 768),
             clip_layers=e.get("layers", 12),
             clip_heads=e.get("heads", 12),
+            remat=bool(cfg.training.get("remat", False)),
             dtype=dtype,
         ), patches
 
@@ -148,6 +149,7 @@ def build_model(cfg):
             dec_depth=cfg.model.depth,
             mult=cfg.model.mult,
             dropout=cfg.model.dropout,
+            remat=bool(cfg.training.get("remat", False)),
             dtype=dtype,
         ), patches
 
@@ -200,6 +202,8 @@ def build_model(cfg):
             sel_experts=t.sel_experts,
             dropout=t.dropout,
             num_classes=t.num_classes,
+            moe_impl=t.get("moe_impl", "auto"),
+            capacity_factor=t.get("capacity_factor"),
             dtype=dtype,
         ), patches
 

@@ -51,6 +51,7 @@ class BiDirectionalTransformer(nn.Module):
     mult: float = 4
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -66,7 +67,7 @@ class BiDirectionalTransformer(nn.Module):
         h = GammaLayerNorm(self.dim, dtype=self.dtype, name="init_norm")(h)
         h = Encoder(
             self.dim, self.n_heads, self.d_head, self.dec_depth, self.mult,
-            self.dropout, dtype=self.dtype, name="decoder",
+            self.dropout, dtype=self.dtype, remat=self.remat, name="decoder",
         )(h, deterministic=deterministic)
         h = GammaLayerNorm(self.dim, dtype=self.dtype, name="final_norm")(h)
         return nn.Dense(
@@ -85,6 +86,7 @@ class MaskGitTransformer(nn.Module):
     mult: float = 4
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     def setup(self):
         self.vq = build_vq(self.vq_config, dtype=self.dtype)
@@ -94,7 +96,7 @@ class MaskGitTransformer(nn.Module):
             num_patches=vq_num_patches(self.vq_config),
             n_heads=self.n_heads, d_head=self.d_head,
             dec_depth=self.dec_depth, mult=self.mult, dropout=self.dropout,
-            dtype=self.dtype,
+            dtype=self.dtype, remat=self.remat,
         )
 
     def init_all(self, imgs, rng: jax.Array):

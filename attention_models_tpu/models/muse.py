@@ -51,6 +51,7 @@ class BidirectionalDecoder(nn.Module):
     dropout: float
     num_patches: int
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, indices, context, context_mask=None,
@@ -66,7 +67,7 @@ class BidirectionalDecoder(nn.Module):
         x = x + pos.astype(x.dtype)
         x = Decoder(
             self.dim, self.n_heads, self.d_head, self.depth, self.mult,
-            self.dropout, dtype=self.dtype, name="decoder",
+            self.dropout, dtype=self.dtype, remat=self.remat, name="decoder",
         )(x, context, context_mask=context_mask, deterministic=deterministic)
         x = GammaLayerNorm(self.dim, dtype=self.dtype, name="final_norm")(x)
         return nn.Dense(
@@ -90,6 +91,7 @@ class MUSE(nn.Module):
     clip_layers: int = 12
     clip_heads: int = 12
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # rematerialize decoder blocks (trade FLOPs for HBM)
 
     def setup(self):
         self.text_encoder = TextEncoder(
@@ -104,7 +106,7 @@ class MUSE(nn.Module):
             self.dim, self.codebook_size, self.n_heads, self.d_head,
             self.depth, self.mult, self.dropout,
             vq_num_patches(self.vq_config),
-            dtype=self.dtype,
+            dtype=self.dtype, remat=self.remat,
         )
 
     def encode_texts(self, text_ids):
