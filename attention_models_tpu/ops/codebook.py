@@ -120,6 +120,10 @@ def nearest_codes(
     ``use_pallas=None`` auto-dispatches: the fused kernel on TPU backends
     (when shapes tile), XLA everywhere else."""
     n = z.shape[0]
+    # indices are integers — no gradient flows; cutting tangents here keeps
+    # the Pallas call out of autodiff tracing (it has no JVP rule)
+    z = jax.lax.stop_gradient(z)
+    codes = jax.lax.stop_gradient(codes)
     if use_pallas is None:
         use_pallas = (
             jax.default_backend() in ("tpu", "axon")

@@ -106,6 +106,84 @@ def _decode_latency_bench(log, time_fn):
         f"total, {dt / timesteps * 1e3:.2f} ms/step")
 
 
+def _train_step_bench(log, time_fn, model, params):
+    """ViTVQGAN GAN training throughput (the reference's main workload,
+    SURVEY.md §3.1): D phase (hinge + WGAN-GP) + G phase (codebook + adv +
+    LPIPS + L1 + L2), both jitted, batch 8 @ 256px bf16."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from attention_models_tpu.models.discriminator import NLayerDiscriminator
+    from attention_models_tpu.training.losses import (
+        LPIPS,
+        g_nonsaturating_loss,
+        gradient_penalty,
+        hinge_d_loss,
+    )
+
+    bs = 8
+    imgs = jnp.array(np.random.RandomState(0).rand(bs, 3, 256, 256),
+                     jnp.bfloat16)
+    discr = NLayerDiscriminator(input_nc=3, ndf=64, n_layers=3,
+                                dtype=jnp.bfloat16)
+    lpips = LPIPS(dtype=jnp.bfloat16)
+    d_vars = _synth_params(
+        discr, functools.partial(discr.init, train=False),
+        jax.random.key(0), imgs,
+    )
+    lp = _synth_params(lpips, lpips.init, jax.random.key(0), imgs, imgs)
+    tx = optax.adam(1e-4)
+    g_opt = tx.init(params["params"])
+    d_opt = tx.init(d_vars["params"])
+
+    @jax.jit
+    def gan_step(g_params, g_opt, d_params, d_stats, d_opt, imgs, rng):
+        # D phase
+        rec, _ = model.apply({"params": g_params}, imgs)
+        rec = jax.lax.stop_gradient(rec)
+
+        def d_loss_fn(dp):
+            fake = discr.apply({"params": dp, "batch_stats": d_stats}, rec)
+            real = discr.apply({"params": dp, "batch_stats": d_stats}, imgs)
+            gp = gradient_penalty(
+                lambda x: discr.apply(
+                    {"params": dp, "batch_stats": d_stats}, x),
+                rng, imgs, rec)
+            return hinge_d_loss(fake, real) + gp
+
+        d_grads = jax.grad(d_loss_fn)(d_params)
+        d_updates, d_opt = tx.update(d_grads, d_opt, d_params)
+        d_params = optax.apply_updates(d_params, d_updates)
+
+        # G phase
+        def g_loss_fn(gp_):
+            rec, cb = model.apply({"params": gp_}, imgs)
+            l1 = jnp.mean(jnp.abs(rec - imgs))
+            l2 = jnp.mean((rec - imgs) ** 2)
+            per = jnp.mean(lpips.apply(lp, rec.astype(jnp.float32),
+                                       imgs.astype(jnp.float32)))
+            adv = g_nonsaturating_loss(
+                discr.apply({"params": d_params, "batch_stats": d_stats}, rec)
+            )
+            return cb + 0.1 * adv + per + l1 + l2
+
+        g_grads = jax.grad(g_loss_fn)(g_params)
+        g_updates, g_opt = tx.update(g_grads, g_opt, g_params)
+        g_params = optax.apply_updates(g_params, g_updates)
+        return g_params, g_opt, d_params, d_opt
+
+    d_stats = d_vars.get("batch_stats", {})
+    dt = time_fn(
+        gan_step, params["params"], g_opt, d_vars["params"], d_stats, d_opt,
+        imgs, jax.random.key(1), iters=10,
+    )
+    log(f"GAN train step (D+G, GP, LPIPS) bs={bs}: {dt * 1e3:.1f} ms "
+        f"({bs / dt:.0f} imgs/s training)")
+
+
 def main():
     import jax
 
@@ -166,6 +244,11 @@ def main():
         _decode_latency_bench(log, time_fn)
     except Exception as e:
         log(f"decode latency bench failed: {type(e).__name__}: {e}")
+
+    try:
+        _train_step_bench(log, time_fn, model, params)
+    except Exception as e:
+        log(f"train step bench failed: {type(e).__name__}: {e}")
 
     print(json.dumps({
         "metric": "vitvqgan_256px_recon_throughput",
