@@ -61,12 +61,15 @@ class DataLoader:
         self._epoch += 1
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        error: list[BaseException] = []
 
         def produce():
             try:
                 for batch_idx in self._batch_indices():
                     q.put(_collate([self.dataset[int(i)] for i in batch_idx],
                                    self.batch_transform))
+            except BaseException as e:  # re-raised in the consumer
+                error.append(e)
             finally:
                 q.put(stop)
 
@@ -75,6 +78,8 @@ class DataLoader:
         while True:
             item = q.get()
             if item is stop:
+                if error:
+                    raise error[0]
                 break
             yield item
 

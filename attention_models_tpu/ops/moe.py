@@ -79,10 +79,9 @@ def moe_linear_scatter(
     k = selected.shape[-1]
     lead = x.shape[:-1]
     d_in = x.shape[-1]
-    n = int(jnp.prod(jnp.array(lead))) if lead else 1
-    n = x.reshape(-1, d_in).shape[0]
 
-    xf = x.reshape(n, d_in)
+    xf = x.reshape(-1, d_in)
+    n = xf.shape[0]
     sel = selected.reshape(n, k)
     wts = None if weights is None else weights.reshape(n, k)
 

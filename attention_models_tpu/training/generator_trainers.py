@@ -205,12 +205,22 @@ class MuseTrainer(_GeneratorTrainer):
                 return [line.strip() for line in f if line.strip()]
         return ["a photo of a cat", "a red stop sign"]
 
-    def sample_prompts(self):
+    def sample_prompts(self, chunk: int = 8):
+        """Generate the 31 fixed dalle prompts (trainers/muse.py:120-134) in
+        fixed-size chunks so the CFG 2b-batch forward keeps one jitted shape
+        and bounded memory."""
         prompts = self._prompts()
-        ids = jnp.array(tokenize(prompts, self.max_length))
-        imgs = self._generate_step(self.state["params"], ids, self.rng())
-        save_image_grid(np.asarray(imgs, np.float32),
-                        os.path.join(self.image_saved_dir, "step.png"))
+        outs = []
+        for s in range(0, len(prompts), chunk):
+            batch = prompts[s : s + chunk]
+            batch = batch + [""] * (chunk - len(batch))  # static shape
+            ids = jnp.array(tokenize(batch, self.max_length))
+            outs.append(np.asarray(
+                self._generate_step(self.state["params"], ids, self.rng()),
+                np.float32,
+            ))
+        imgs = np.concatenate(outs)[: len(prompts)]
+        save_image_grid(imgs, os.path.join(self.image_saved_dir, "step.png"))
 
     def evaluate(self):
         for i, (img, texts) in enumerate(self.val_dl):

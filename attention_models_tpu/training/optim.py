@@ -65,11 +65,9 @@ def build_optimizer(
     elif name == "adamw":
         base = optax.adamw(schedule, b1=b1, b2=b2, eps=eps, weight_decay=wd)
     elif name == "adam":
-        # torch Adam applies L2 via grad += wd * param
-        base = optax.chain(
-            optax.add_decayed_weights(wd) if wd else optax.identity(),
-            optax.adam(schedule, b1=b1, b2=b2, eps=eps),
-        ) if wd else optax.adam(schedule, b1=b1, b2=b2, eps=eps)
+        base = optax.adam(schedule, b1=b1, b2=b2, eps=eps)
+        if wd:  # torch Adam applies L2 via grad += wd * param (pre-moment)
+            base = optax.chain(optax.add_decayed_weights(wd), base)
     else:
         raise ValueError(f"unknown optimizer {name!r}")
 
