@@ -19,29 +19,57 @@ from attention_models_tpu.ops.moe import _combine_weights, moe_linear_scatter, t
 
 
 _TP_MODE = False
+_TP_MESH = None
 
 
-def set_tensor_parallel_mode(enabled: bool) -> None:
-    """When the model axis is sharded (tensor parallelism), route attention
-    through the XLA path: GSPMD partitions plain einsums automatically,
-    whereas a pallas_call would need an explicit shard_map wrapper (planned;
-    the trainers flip this flag from the mesh shape)."""
-    global _TP_MODE
+def set_tensor_parallel_mode(enabled: bool, mesh=None) -> None:
+    """When the model axis is sharded (tensor parallelism), attention runs
+    the Pallas kernel under shard_map with heads sharded over the model axis
+    (ops/flash_attention.flash_attention_sharded). When the shard layout
+    doesn't divide (or no mesh is given) it falls back to the XLA path, which
+    GSPMD partitions automatically. Trainers flip this from the mesh shape."""
+    global _TP_MODE, _TP_MESH
     _TP_MODE = enabled
+    _TP_MESH = mesh
+
+
+def _tp_shardable(q, k):
+    if _TP_MESH is None:
+        return False
+    dp = _TP_MESH.shape.get("data", 1)
+    tp = _TP_MESH.shape.get("model", 1)
+    return (
+        q.shape[0] % dp == 0
+        and q.shape[1] % tp == 0
+        and k.shape[0] % dp == 0
+        and k.shape[1] % tp == 0
+    )
 
 
 def _dispatch_attention(
     q, k, v, *, scale, causal, causal_mask, context_mask, use_flash
 ):
     """Flash kernel when only (optional) causal masking is needed and the
-    shapes tile; the reference-semantics XLA path otherwise."""
+    shapes tile; the reference-semantics XLA path otherwise. Under tensor
+    parallelism the kernel runs per-shard via shard_map."""
     if use_flash is None:
-        use_flash = (
-            not _TP_MODE
-            and context_mask is None
+        flash_ok = (
+            context_mask is None
             and causal_mask is None  # explicit mask tensors go XLA
             and flash_supported(q.shape, k.shape)
         )
+        if _TP_MODE:
+            if flash_ok and _tp_shardable(q, k):
+                from attention_models_tpu.ops.flash_attention import (
+                    flash_attention_sharded,
+                )
+
+                return flash_attention_sharded(
+                    q, k, v, _TP_MESH, scale=scale, causal=causal
+                )
+            use_flash = False
+        else:
+            use_flash = flash_ok
     if use_flash:
         return flash_attention(q, k, v, scale=scale, causal=causal)
     if causal and causal_mask is None:

@@ -197,3 +197,43 @@ def flash_supported(
     if platform not in ("tpu", "axon"):
         return False
     return q_shape[2] >= 128 and k_shape[2] >= 128
+
+
+def flash_attention_sharded(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh,
+    *,
+    scale: float | None = None,
+    causal: bool = False,
+    data_axis: str = "data",
+    model_axis: str = "model",
+    block_q: int = 1024,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention under a (data, model) mesh: batch sharded over the
+    data axis, HEADS sharded over the model axis — the tensor-parallel layout
+    produced by the sharded QKV projections. shard_map runs the Pallas kernel
+    on each shard's local heads; no cross-shard communication is needed
+    because heads are independent.
+
+    Requires b % data_axis == 0 and h % model_axis == 0 (the dispatch layer
+    checks and falls back to the XLA path otherwise)."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(data_axis, model_axis, None, None)
+    fn = jax.shard_map(
+        functools.partial(
+            flash_attention, scale=scale, causal=causal,
+            block_q=block_q, block_k=block_k, interpret=interpret,
+        ),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(q, k, v)

@@ -67,7 +67,7 @@ class BaseTrainer:
                 set_tensor_parallel_mode,
             )
 
-            set_tensor_parallel_mode(True)
+            set_tensor_parallel_mode(True, self.mesh)
         self.data_sharding = batch_sharding(self.mesh)
         self.rng = RngStream(int(cfg.training.get("seed", 42) or 42))
 

@@ -144,3 +144,18 @@ def test_gradient_accumulation(tmp_path):
     )
     # 2 batches -> 1 full optimizer step; training completed without error
     assert trainer.global_step == 2
+
+
+def test_trainer_tensor_parallel(tmp_path):
+    """dp x tp mesh end-to-end: ViT trains on a 4x2 (data, model) mesh."""
+    from attention_models_tpu.models.attention import set_tensor_parallel_mode
+
+    try:
+        trainer, _ = _run("vit_overfit.yaml", tmp_path,
+                          **{"training.tensor_parallel": 2,
+                             "training.num_epochs": 2})
+        assert dict(trainer.mesh.shape) == {"data": 4, "model": 2}
+        logs = _losses(tmp_path, "vit_overfit")
+        assert any("loss" in l for l in logs)
+    finally:
+        set_tensor_parallel_mode(False)
