@@ -191,12 +191,18 @@ def flash_supported(
     q_shape: tuple, k_shape: tuple, platform: str | None = None
 ) -> bool:
     """Dispatch predicate: Pallas TPU kernels only on TPU-like backends; seq
-    lens must be >= 2 sublanes to be worth the call."""
+    lens must be >= 2 sublanes to be worth the call, and must tile into the
+    blocks _pick_block accepts (multiple of 8) or the kernel would raise at
+    trace time instead of falling back to the XLA path — e.g. ViT's 257
+    tokens (image 256 / patch 16 + class token)."""
     if platform is None:
         platform = jax.default_backend()
     if platform not in ("tpu", "axon"):
         return False
-    return q_shape[2] >= 128 and k_shape[2] >= 128
+    return (
+        q_shape[2] >= 128 and k_shape[2] >= 128
+        and q_shape[2] % 8 == 0 and k_shape[2] % 8 == 0
+    )
 
 
 def flash_attention_sharded(

@@ -97,12 +97,13 @@ def moe_linear_scatter(
     pos = jnp.take_along_axis(pos_in_expert, sel_flat[:, None], axis=-1)[:, 0]
     keep = pos < capacity
 
-    # scatter tokens into (E, C, d_in)
+    # scatter tokens into (E, C, d_in); over-capacity (token, slot) pairs
+    # have pos >= capacity and are discarded by mode="drop" without
+    # touching any in-bounds slot (clamping them would clobber the valid
+    # token occupying the last slot).
     buckets = jnp.zeros((e, capacity, d_in), x.dtype)
     tok_ids = jnp.repeat(jnp.arange(n), k)
-    buckets = buckets.at[sel_flat, jnp.where(keep, pos, capacity - 1)].set(
-        jnp.where(keep[:, None], xf[tok_ids], 0), mode="drop"
-    )
+    buckets = buckets.at[sel_flat, pos].set(xf[tok_ids], mode="drop")
 
     y = jnp.einsum(
         "ecd,edh->ech", buckets.astype(jnp.float32), w.astype(jnp.float32),

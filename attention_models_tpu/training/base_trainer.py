@@ -101,7 +101,7 @@ class BaseTrainer:
         return jax.device_put(arr, batch_sharding(self.mesh, arr.ndim))
 
     def _with_rng(self, state):
-        return {**state, "host_rng": jax.random.key_data(self.rng.fold_in(0))}
+        return {**state, "host_rng": self.rng.key_data()}
 
     def maybe_resume(self, state):
         """Full-state resume: params, optimizer, step AND host PRNG (the

@@ -21,3 +21,9 @@ class RngStream:
 
     def fold_in(self, data: int) -> jax.Array:
         return jax.random.fold_in(self._key, data)
+
+    def key_data(self) -> jax.Array:
+        """Raw key data of the CURRENT stream position — checkpointing this
+        and restoring via ``wrap_key_data`` makes a resumed run's rng() calls
+        continue exactly where the uninterrupted run's would."""
+        return jax.random.key_data(self._key)

@@ -106,3 +106,17 @@ def test_flash_gradients_match_xla():
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
+
+
+def test_flash_supported_requires_tileable_lengths():
+    """Regression (round-1 advisor): seq lens with no 8-multiple divisor
+    (e.g. ViT's 257 = 256px/patch16 + class token) must dispatch to the XLA
+    path instead of crashing in _pick_block at trace time."""
+    from attention_models_tpu.ops.flash_attention import flash_supported
+
+    q = (2, 8, 256, 64)
+    assert flash_supported(q, q, platform="tpu")
+    odd = (2, 8, 257, 64)
+    assert not flash_supported(odd, odd, platform="tpu")
+    assert not flash_supported(q, odd, platform="tpu")
+    assert not flash_supported(q, q, platform="cpu")

@@ -77,3 +77,21 @@ def test_unweighted_dispatch_matches_torch_loop():
     ours = moe_linear_dense(jnp.array(x), jnp.array(w), sel, None, None)
     _, ref = torch_reference_moe(x, w, bias, gw, gb, 2, weighted=False)
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_scatter_capacity_drops_only_overflow_tokens():
+    """Regression (round-1 advisor): with a finite capacity, the (token, slot)
+    pairs beyond capacity must be dropped WITHOUT clobbering the valid token
+    occupying the bucket's last slot. Route 8 tokens to one expert with
+    capacity 4: tokens 0-3 keep their outputs, 4-7 are zeroed."""
+    n, d, e = 8, 4, 2
+    x = np.arange(1, n * d + 1, dtype=np.float32).reshape(1, n, d)
+    w = np.stack([np.eye(d, dtype=np.float32),
+                  np.zeros((d, d), np.float32)])
+    sel = jnp.zeros((1, n, 1), jnp.int32)  # everyone picks expert 0
+    # capacity = cf * n * k / e = 1.0 * 8 * 1 / 2 = 4
+    out = np.asarray(moe_linear_scatter(
+        jnp.array(x), jnp.array(w), sel, None, capacity_factor=1.0
+    ))
+    np.testing.assert_allclose(out[0, :4], x[0, :4], rtol=1e-6)
+    np.testing.assert_array_equal(out[0, 4:], np.zeros((4, d), np.float32))
