@@ -18,26 +18,30 @@ from attention_models_tpu.ops.flash_attention import flash_attention, flash_supp
 from attention_models_tpu.ops.moe import _combine_weights, moe_linear_scatter, topk_gate
 
 
-_TP_MODE = False
-_TP_MESH = None
+from attention_models_tpu.parallel.mesh import MODEL_AXIS
 
 
-def set_tensor_parallel_mode(enabled: bool, mesh=None) -> None:
-    """When the model axis is sharded (tensor parallelism), attention runs
-    the Pallas kernel under shard_map with heads sharded over the model axis
-    (ops/flash_attention.flash_attention_sharded). When the shard layout
-    doesn't divide (or no mesh is given) it falls back to the XLA path, which
-    GSPMD partitions automatically. Trainers flip this from the mesh shape."""
-    global _TP_MODE, _TP_MESH
-    _TP_MODE = enabled
-    _TP_MESH = mesh
+def _ambient_tp_mesh():
+    """The mesh of the enclosing ``jax.sharding.set_mesh`` scope, iff its
+    model axis is sharded (tensor parallelism). Trainers set the ambient
+    mesh once at construction; standalone model use has no ambient mesh and
+    dispatches to the plain kernel / GSPMD-partitioned XLA path. This
+    replaces a mutable module global — the mesh is read from the trace
+    context, so nothing needs to be flipped on or off."""
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+    except Exception:
+        return None
+    if mesh is None or mesh.empty:
+        return None
+    if mesh.shape.get(MODEL_AXIS, 1) <= 1:
+        return None
+    return mesh
 
 
-def _tp_shardable(q, k):
-    if _TP_MESH is None:
-        return False
-    dp = _TP_MESH.shape.get("data", 1)
-    tp = _TP_MESH.shape.get("model", 1)
+def _tp_shardable(q, k, mesh):
+    dp = mesh.shape.get("data", 1)
+    tp = mesh.shape.get("model", 1)
     return (
         q.shape[0] % dp == 0
         and q.shape[1] % tp == 0
@@ -58,14 +62,15 @@ def _dispatch_attention(
             and causal_mask is None  # explicit mask tensors go XLA
             and flash_supported(q.shape, k.shape)
         )
-        if _TP_MODE:
-            if flash_ok and _tp_shardable(q, k):
+        tp_mesh = _ambient_tp_mesh()
+        if tp_mesh is not None:
+            if flash_ok and _tp_shardable(q, k, tp_mesh):
                 from attention_models_tpu.ops.flash_attention import (
                     flash_attention_sharded,
                 )
 
                 return flash_attention_sharded(
-                    q, k, v, _TP_MESH, scale=scale, causal=causal
+                    q, k, v, tp_mesh, scale=scale, causal=causal
                 )
             use_flash = False
         else:

@@ -6,9 +6,10 @@ HBM — the TPU-native replacement for the reference's naive einsum+softmax
 day one so a ring/context-parallel mesh axis can be threaded through later
 (SURVEY.md §5 "long-context").
 
-Forward is a Pallas kernel; backward is a custom VJP that recomputes
-attention with the mathematically-identical XLA path and differentiates that
-(rematerialization: trades FLOPs for HBM, the standard TPU recipe).
+Forward and backward are both Pallas kernels (FlashAttention-2 style): the
+forward saves only (o, logsumexp) as residuals and the backward recomputes
+P = exp(qk^T·scale − lse) blockwise inside the kernels — dq/dk/dv gradients
+at O(t) memory, so training (not just inference) is flash-grade.
 
 Supports self- and cross-attention with an optional causal mask. Keep-style
 kv masks fall back to the XLA path at the dispatch layer (models/attention).
@@ -24,8 +25,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from attention_models_tpu.ops.attention import make_causal_mask, multihead_attention
-
 NEG_INF = -1e30
 
 
@@ -34,6 +33,7 @@ def _flash_kernel(
     k_ref,  # (1, tk, d)
     v_ref,  # (1, tk, d)
     o_ref,  # (1, block_q, d)
+    lse_ref,  # (1, block_q, 1) — per-row logsumexp of scaled scores
     *,
     scale: float,
     causal: bool,
@@ -88,8 +88,9 @@ def _flash_kernel(
         jnp.full((block_q, 1), NEG_INF, jnp.float32),
         jnp.zeros((block_q, 1), jnp.float32),
     )
-    acc, _, l = jax.lax.fori_loop(0, num_k_blocks, body, init)
+    acc, m, l = jax.lax.fori_loop(0, num_k_blocks, body, init)
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)  # (bq, 1)
 
 
 def _pick_block(t: int, pref: int) -> int:
@@ -105,7 +106,8 @@ def _flash_forward(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     *, scale: float, causal: bool, block_q: int, block_k: int,
     interpret: bool = False,
-) -> jnp.ndarray:
+):
+    """Returns (out (b,h,tq,d), lse (b,h,tq) fp32)."""
     b, h, tq, d = q.shape
     tk = k.shape[2]
     bq = _pick_block(tq, block_q)
@@ -119,7 +121,7 @@ def _flash_forward(
     kernel = functools.partial(
         _flash_kernel, scale=scale, causal=causal, block_k=bk, tq=tq, tk=tk
     )
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -130,9 +132,17 @@ def _flash_forward(
             pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            # trailing dim 1 == array dim satisfies the (8, 128) tiling rule
+            pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, tq, 1), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * tq * tk * d,
             bytes_accessed=(qf.size + kf.size + vf.size) * q.dtype.itemsize,
@@ -140,31 +150,286 @@ def _flash_forward(
         ),
         interpret=interpret,
     )(qf, kf, vf)
-    return out.reshape(b, h, tq, d)
+    return out.reshape(b, h, tq, d), lse.reshape(b, h, tq)
+
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref,  # (1, tq, d)
+    do_ref,  # (1, tq, d)
+    lse_ref,  # (1, tq, 1)
+    delta_ref,  # (1, tq, 1)
+    k_ref,  # (1, block_k, d)
+    v_ref,  # (1, block_k, d)
+    dk_ref,  # (1, block_k, d)
+    dv_ref,  # (1, block_k, d)
+    *,
+    scale: float,
+    causal: bool,
+    block_q: int,
+    tq: int,
+    tk: int,
+):
+    """One k/v block per program; stream q blocks and accumulate dk, dv.
+
+    FlashAttention-2 backward: P is recomputed from (q, k, lse) blockwise,
+    dV += P^T dO, dS = P∘(dO V^T − Δ), dK += dS^T (q·scale)."""
+    block_k = k_ref.shape[1]
+    d = k_ref.shape[2]
+    k_idx = pl.program_id(1)
+    kT = jnp.transpose(k_ref[0].astype(jnp.float32))  # (d, bk)
+    v_blk = v_ref[0].astype(jnp.float32)  # (bk, d)
+
+    num_q_blocks = pl.cdiv(tq, block_q)
+    q_start = 0
+    if causal:
+        # cols of this k block are visible only to rows >= col - (tk - tq);
+        # q blocks entirely before that contribute nothing.
+        first_row = k_idx * block_k - (tk - tq)
+        q_start = jnp.maximum(first_row, 0) // block_q
+
+    def body(qb, carry):
+        dk_acc, dv_acc = carry
+        q_blk = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        do_blk = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        lse_blk = lse_ref[0, pl.ds(qb * block_q, block_q), :]  # (bq, 1)
+        delta_blk = delta_ref[0, pl.ds(qb * block_q, block_q), :]  # (bq, 1)
+
+        s = jax.lax.dot_general(
+            q_blk * scale, kT,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, bk)
+        p = jnp.exp(s - lse_blk)
+        if causal:
+            rows = qb * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            cols = k_idx * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            p = jnp.where(cols > rows + (tk - tq), 0.0, p)
+
+        # dV += P^T dO
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p, do_blk,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dP = dO V^T ; dS = P * (dP - delta)
+        dp = jax.lax.dot_general(
+            do_blk, v_blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_blk)
+        # dK += dS^T (q * scale)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q_blk * scale,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dk_acc, dv_acc
+
+    init = (
+        jnp.zeros((block_k, d), jnp.float32),
+        jnp.zeros((block_k, d), jnp.float32),
+    )
+    dk, dv = jax.lax.fori_loop(q_start, num_q_blocks, body, init)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd_dq_kernel(
+    k_ref,  # (1, tk, d)
+    v_ref,  # (1, tk, d)
+    q_ref,  # (1, block_q, d)
+    do_ref,  # (1, block_q, d)
+    lse_ref,  # (1, block_q, 1)
+    delta_ref,  # (1, block_q, 1)
+    dq_ref,  # (1, block_q, d)
+    *,
+    scale: float,
+    causal: bool,
+    block_k: int,
+    tq: int,
+    tk: int,
+):
+    """One q block per program; stream k blocks and accumulate dq:
+    dQ += dS K · scale with dS = P∘(dO V^T − Δ)."""
+    block_q = q_ref.shape[1]
+    d = q_ref.shape[2]
+    q_idx = pl.program_id(1)
+
+    q_blk = q_ref[0].astype(jnp.float32) * scale
+    do_blk = do_ref[0].astype(jnp.float32)
+    lse_blk = lse_ref[0]  # (bq, 1)
+    delta_blk = delta_ref[0]  # (bq, 1)
+
+    num_k_blocks = pl.cdiv(tk, block_k)
+    if causal:
+        max_col = (q_idx + 1) * block_q + (tk - tq)
+        num_k_blocks = (jnp.minimum(max_col, tk) + block_k - 1) // block_k
+
+    def body(kb, dq_acc):
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q_blk, k_blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, bk)
+        p = jnp.exp(s - lse_blk)
+        if causal:
+            rows = q_idx * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            cols = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            p = jnp.where(cols > rows + (tk - tq), 0.0, p)
+        dp = jax.lax.dot_general(
+            do_blk, v_blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_blk)
+        return dq_acc + jax.lax.dot_general(
+            ds, k_blk,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dq = jax.lax.fori_loop(
+        0, num_k_blocks, body, jnp.zeros((block_q, d), jnp.float32)
+    )
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _flash_backward(
+    q, k, v, o, lse, g,
+    *, scale: float, causal: bool, block_q: int, block_k: int,
+    interpret: bool = False,
+):
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    # backward keeps three (bq, bk) fp32 intermediates (p, dp, ds) live per
+    # block pair — cap blocks at 512 so the kernel stack fits in VMEM
+    bq = _pick_block(tq, min(block_q, 512))
+    bk = _pick_block(tk, min(block_k, 512))
+
+    qf = q.reshape(b * h, tq, d)
+    kf = k.reshape(b * h, tk, d)
+    vf = v.reshape(b * h, tk, d)
+    dof = g.reshape(b * h, tq, d)
+    lsef = lse.reshape(b * h, tq, 1)
+    # delta_i = rowsum(dO_i * O_i) — cheap elementwise, let XLA fuse it
+    delta = jnp.sum(
+        g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    ).reshape(b * h, tq, 1)
+
+    dkv_kernel = functools.partial(
+        _flash_bwd_dkv_kernel, scale=scale, causal=causal, block_q=bq,
+        tq=tq, tk=tk,
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(b * h, pl.cdiv(tk, bk)),
+        in_specs=[
+            pl.BlockSpec((1, tq, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, 1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, 1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, tk, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, tk, d), v.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=5 * b * h * tq * tk * d,
+            bytes_accessed=2 * (qf.size + kf.size + vf.size) * 4,
+            transcendentals=b * h * tq * tk,
+        ),
+        interpret=interpret,
+    )(qf, dof, lsef, delta, kf, vf)
+
+    dq_kernel = functools.partial(
+        _flash_bwd_dq_kernel, scale=scale, causal=causal, block_k=bk,
+        tq=tq, tk=tk,
+    )
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(b * h, pl.cdiv(tq, bq)),
+        in_specs=[
+            pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * tq * tk * d,
+            bytes_accessed=2 * (qf.size + kf.size + vf.size) * 4,
+            transcendentals=b * h * tq * tk,
+        ),
+        interpret=interpret,
+    )(kf, vf, qf, dof, lsef, delta)
+
+    return (
+        dq.reshape(b, h, tq, d),
+        dk.reshape(b, h, tk, d),
+        dv.reshape(b, h, tk, d),
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
 def _flash(causal, scale, block_q, block_k, interpret, q, k, v):
-    return _flash_forward(
+    out, _ = _flash_forward(
         q, k, v, scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         interpret=interpret,
     )
+    return out
 
 
 def _flash_fwd(causal, scale, block_q, block_k, interpret, q, k, v):
-    out = _flash(causal, scale, block_q, block_k, interpret, q, k, v)
-    return out, (q, k, v)
+    out, lse = _flash_forward(
+        q, k, v, scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+        interpret=interpret,
+    )
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd(causal, scale, block_q, block_k, interpret, res, g):
-    q, k, v = res
-
-    def ref(q, k, v):
-        cm = make_causal_mask(q.shape[2], k.shape[2]) if causal else None
-        return multihead_attention(q, k, v, scale=scale, causal_mask=cm)
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = res
+    return _flash_backward(
+        q, k, v, o, lse, g,
+        scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+        interpret=interpret,
+    )
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)

@@ -59,15 +59,20 @@ class BaseTrainer:
         tp = int(cfg.training.get("tensor_parallel", 1) or 1)
         avail = len(jax.devices()) // tp
         dp = math.gcd(self.batch_size, avail)  # data axis must divide batch
+        if dp < avail:
+            log.warning(
+                "batch_size=%d only divides %d of %d available data-parallel "
+                "devices — %d devices idle. Pick a batch size divisible by "
+                "the device count to use the full mesh.",
+                self.batch_size, dp, avail, (avail - dp) * tp,
+            )
         self.mesh = create_mesh(
             data=dp, model=tp, devices=jax.devices()[: dp * tp]
         )
-        if tp > 1:
-            from attention_models_tpu.models.attention import (
-                set_tensor_parallel_mode,
-            )
-
-            set_tensor_parallel_mode(True, self.mesh)
+        # Ambient mesh for the whole trainer lifetime: attention dispatch
+        # reads it from the trace context to run the Pallas flash kernel
+        # under shard_map when the model axis is sharded.
+        jax.sharding.set_mesh(self.mesh)
         self.data_sharding = batch_sharding(self.mesh)
         self.rng = RngStream(int(cfg.training.get("seed", 42) or 42))
 
@@ -93,6 +98,23 @@ class BaseTrainer:
         log.info("Mesh: %s", dict(self.mesh.shape))
 
     # -- helpers ----------------------------------------------------------------
+    def place_state(self, state):
+        """Place the full train state on the mesh: weight matrices (and
+        their optimizer moments, which share the params' pytree paths) get
+        the tensor/expert-parallel shardings from parallel/sharding.py;
+        everything else is explicitly replicated. Returns (placed_state,
+        shardings) — pass the shardings as the step's ``out_shardings`` so
+        updated states stay placed instead of falling back to replication."""
+        from attention_models_tpu.parallel import param_shardings, shard_pytree
+
+        shardings = param_shardings(state, self.mesh)
+        return shard_pytree(state, shardings), shardings
+
+    @property
+    def replicated(self):
+        """Replicated sharding (for scalar metrics step outputs)."""
+        return replicated_sharding(self.mesh)
+
     def shard_batch(self, arr: np.ndarray):
         arr = np.asarray(arr)
         if arr.shape[0] % self.mesh.shape["data"]:
@@ -124,7 +146,7 @@ class BaseTrainer:
                 return restored
         return state
 
-    def save_ckpt(self, state, rewrite: bool = False):
+    def save_ckpt(self, state):
         self.ckpt.save(self.global_step, self._with_rng(state))
 
     def train(self):

@@ -52,6 +52,7 @@ class _GeneratorTrainer(BaseTrainer):
             "opt": self.tx.init(variables["params"]),
         }
         self.state = self.maybe_resume(self.state)
+        self.state, self.state_shardings = self.place_state(self.state)
         self._build_steps()
 
     # -- subclass hooks ---------------------------------------------------------
@@ -80,7 +81,10 @@ class MaskGitTrainer(_GeneratorTrainer):
     def _build_steps(self):
         model_apply = self.model.apply
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
+        @functools.partial(
+            jax.jit, donate_argnums=(0,),
+            out_shardings=(self.state_shardings, self.replicated),
+        )
         def train_step(state, img, rng):
             mask_rng, drop_rng = jax.random.split(rng)
 
@@ -151,7 +155,10 @@ class MuseTrainer(_GeneratorTrainer):
         model_apply = self.model.apply
         self.max_length = int(self.cfg.model.encoder.max_length)
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
+        @functools.partial(
+            jax.jit, donate_argnums=(0,),
+            out_shardings=(self.state_shardings, self.replicated),
+        )
         def train_step(state, text_ids, img, rng):
             step_rng, drop_rng = jax.random.split(rng)
 
@@ -256,7 +263,10 @@ class PartiTrainer(_GeneratorTrainer):
         model_apply = self.model.apply
         self.max_length = int(self.cfg.model.encoder.max_length)
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
+        @functools.partial(
+            jax.jit, donate_argnums=(0,),
+            out_shardings=(self.state_shardings, self.replicated),
+        )
         def train_step(state, text_ids, img, rng):
             def loss_fn(params):
                 return model_apply(

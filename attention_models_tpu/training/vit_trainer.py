@@ -39,10 +39,14 @@ class VitTrainer(BaseTrainer):
             "opt": self.tx.init(variables["params"]),
         }
         self.state = self.maybe_resume(self.state)
+        self.state, state_sh = self.place_state(self.state)
 
         model_apply = self.model.apply
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
+        @functools.partial(
+            jax.jit, donate_argnums=(0,),
+            out_shardings=(state_sh, self.replicated),
+        )
         def train_step(state, img, target, rng):
             def loss_fn(params):
                 logits = model_apply(

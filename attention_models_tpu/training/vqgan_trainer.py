@@ -86,12 +86,16 @@ class VQGANTrainer(BaseTrainer):
         self.lpips_params = lpips_params
         self.g_tx, self.d_tx = g_tx, d_tx
         self.state = self.maybe_resume(self.state)
+        self.state, state_sh = self.place_state(self.state)
 
         model_apply = self.model.apply
         discr_apply = self.discr.apply
         lpips_apply = self.lpips.apply
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
+        @functools.partial(
+            jax.jit, donate_argnums=(0,),
+            out_shardings=(state_sh, self.replicated),
+        )
         def d_step(state, img, rng):
             rec, _ = model_apply({"params": state["g_params"]}, img)
             rec = jax.lax.stop_gradient(rec)
@@ -130,7 +134,10 @@ class VQGANTrainer(BaseTrainer):
             }
             return state, {"d_loss": d_loss, "gp": gp}
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
+        @functools.partial(
+            jax.jit, donate_argnums=(0,),
+            out_shardings=(state_sh, self.replicated),
+        )
         def g_step(state, img):
             def loss_fn(g_params):
                 rec, codebook_loss = model_apply({"params": g_params}, img)

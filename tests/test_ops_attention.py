@@ -120,3 +120,58 @@ def test_flash_supported_requires_tileable_lengths():
     assert not flash_supported(odd, odd, platform="tpu")
     assert not flash_supported(q, odd, platform="tpu")
     assert not flash_supported(q, q, platform="cpu")
+
+
+def test_flash_gradients_causal_and_cross_length():
+    """Pallas backward kernels under causal masking with tq != tk (the
+    row-offset corner: cols visible up to row + (tk - tq))."""
+    q = jnp.array(_rand(1, 2, 64, 32, seed=19))
+    k = jnp.array(_rand(1, 2, 128, 32, seed=20))
+    v = jnp.array(_rand(1, 2, 128, 32, seed=21))
+    scale = 32 ** -0.5
+    cm = make_causal_mask(64, 128)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, scale=scale, causal=True,
+                            block_q=32, block_k=32, interpret=True) ** 2
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            multihead_attention(q, k, v, scale=scale, causal_mask=cm) ** 2
+        )
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_flash_gradients_bf16():
+    """bf16 inputs: gradients come back in bf16 and track the fp32 XLA
+    reference within bf16 tolerance."""
+    q, k, v = (jnp.array(_rand(1, 2, 128, 64, seed=s), jnp.bfloat16)
+               for s in (22, 23, 24))
+    scale = 64 ** -0.5
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, scale=scale, interpret=True)
+            .astype(jnp.float32) ** 2
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            multihead_attention(q, k, v, scale=scale).astype(jnp.float32) ** 2
+        )
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        assert a.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=0.1, atol=0.1,
+        )
