@@ -143,7 +143,7 @@ class MaskGitTransformer(nn.Module):
         num_masked: int = 200,
         timesteps: int = 18,
         filter_p: float = 0.9,
-        approx_topk: bool = True,
+        approx_topk: bool = False,
     ):
         """maskgit.py:191-288 minus the cv2 debug output. From scratch
         (imgs=None): start all-mask. Inpainting: encode ``imgs`` and mask the

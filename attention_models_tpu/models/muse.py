@@ -149,12 +149,12 @@ class MUSE(nn.Module):
         timesteps: int = 18,
         filter_p: float = 0.9,
         guidance_scale: float | None = None,
-        approx_topk: bool = True,
+        approx_topk: bool = False,
     ):
-        """``approx_topk`` uses lax.approx_max_k for the top-count logit
-        filter (~25% of step time when exact; negligible distribution change
-        — see ops/sampling.filter_logits). Pass False for exact reference
-        semantics."""
+        """Default decode is reference-exact (top-count filter). Passing
+        ``approx_topk=True`` opts into lax.approx_max_k (~25% of step time
+        when exact; recall ~0.95 — see ops/sampling.filter_logits); bench.py
+        and the inference CLIs expose it as an explicit speed opt-in."""
         gs = self.guidance_scale if guidance_scale is None else guidance_scale
         b = text_ids.shape[0]
         n = vq_num_patches(self.vq_config)

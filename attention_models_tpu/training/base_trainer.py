@@ -110,6 +110,16 @@ class BaseTrainer:
         shardings = param_shardings(state, self.mesh)
         return shard_pytree(state, shardings), shardings
 
+    def log_image_grid(self, images, path: str, name: str, nrow: int = 6):
+        """Save a sample grid to disk AND log it to TB/wandb — the
+        reference logs generated grids as wandb.Image during training
+        (trainers/muse.py:130-132); disk-only PNGs lose that."""
+        from attention_models_tpu.utils.metrics import make_grid, save_image_grid
+
+        images = np.asarray(images, np.float32)
+        save_image_grid(images, path, nrow=nrow)
+        self.metrics.log_image(name, make_grid(images, nrow), self.global_step)
+
     @property
     def replicated(self):
         """Replicated sharding (for scalar metrics step outputs)."""

@@ -23,7 +23,6 @@ from attention_models_tpu.training.base_trainer import BaseTrainer
 from attention_models_tpu.training.optim import build_optimizer
 from attention_models_tpu.training.schedules import build_schedule
 from attention_models_tpu.utils.checkpoint import apply_param_patches
-from attention_models_tpu.utils.metrics import save_image_grid
 
 log = logging.getLogger(__name__)
 
@@ -135,8 +134,10 @@ class MaskGitTrainer(_GeneratorTrainer):
             rec = self._recon_step(
                 self.state["params"], self.shard_batch(img), self.rng()
             )
-            save_image_grid(np.asarray(rec, np.float32),
-                            os.path.join(self.image_saved_dir, "step.png"))
+            self.log_image_grid(
+                rec, os.path.join(self.image_saved_dir, "step.png"),
+                "samples/recon",
+            )
 
 
 class MuseTrainer(_GeneratorTrainer):
@@ -227,7 +228,10 @@ class MuseTrainer(_GeneratorTrainer):
                 np.float32,
             ))
         imgs = np.concatenate(outs)[: len(prompts)]
-        save_image_grid(imgs, os.path.join(self.image_saved_dir, "step.png"))
+        self.log_image_grid(
+            imgs, os.path.join(self.image_saved_dir, "step.png"),
+            "samples/prompts",
+        )
 
     def evaluate(self):
         for i, (img, texts) in enumerate(self.val_dl):
@@ -235,9 +239,10 @@ class MuseTrainer(_GeneratorTrainer):
                 break
             ids = jnp.array(tokenize(list(texts), self.max_length))
             imgs = self._generate_step(self.state["params"], ids, self.rng())
-            save_image_grid(np.asarray(imgs, np.float32),
-                            os.path.join(self.image_saved_dir,
-                                         f"step_{i}.png"))
+            self.log_image_grid(
+                imgs, os.path.join(self.image_saved_dir, f"step_{i}.png"),
+                f"samples/eval_{i}",
+            )
 
 
 class PartiTrainer(_GeneratorTrainer):
@@ -313,6 +318,8 @@ class PartiTrainer(_GeneratorTrainer):
             ids = jnp.array(tokenize(list(texts), self.max_length))
             imgs = parti_generate(self.model, {"params": self.state["params"]},
                                   ids, self.rng())
-            save_image_grid(np.asarray(imgs, np.float32),
-                            os.path.join(self.image_saved_dir,
-                                         f"parti_step_{i}.png"))
+            self.log_image_grid(
+                imgs,
+                os.path.join(self.image_saved_dir, f"parti_step_{i}.png"),
+                f"samples/eval_{i}",
+            )

@@ -30,15 +30,17 @@ def constant_with_warmup(base_lr: float, warmup_steps: int):
 
 
 def cosine_with_warmup(base_lr: float, warmup_steps: int, decay_steps: int):
-    """HF semantics: cosine from base_lr to 0 after linear warmup."""
+    """HF semantics: cosine from base_lr to 0 after linear warmup. With
+    warmup_steps=0, step 0 is already in the cosine branch at full base_lr
+    (matching HF, where `step < num_warmup_steps` is immediately false)."""
+    cosine = optax.cosine_decay_schedule(
+        base_lr, max(decay_steps - warmup_steps, 1)
+    )
+    if warmup_steps <= 0:
+        return cosine
     return optax.join_schedules(
-        [
-            optax.linear_schedule(0.0, base_lr, max(warmup_steps, 1)),
-            optax.cosine_decay_schedule(
-                base_lr, max(decay_steps - warmup_steps, 1)
-            ),
-        ],
-        [max(warmup_steps, 1)],
+        [optax.linear_schedule(0.0, base_lr, warmup_steps), cosine],
+        [warmup_steps],
     )
 
 

@@ -37,7 +37,6 @@ from attention_models_tpu.training.losses import (
 from attention_models_tpu.training.optim import build_optimizer
 from attention_models_tpu.training.schedules import timm_cosine
 from attention_models_tpu.utils.checkpoint import apply_param_patches
-from attention_models_tpu.utils.metrics import save_image_grid
 
 log = logging.getLogger(__name__)
 
@@ -223,6 +222,7 @@ class VQGANTrainer(BaseTrainer):
             rec = self._recon(self.state["g_params"], self.shard_batch(img))
             pair = np.stack([np.asarray(img), np.asarray(rec, np.float32)], 1)
             pair = pair.reshape(-1, *pair.shape[2:])
-            save_image_grid(
-                pair, f"{self.image_saved_dir}/step_{i}.png", nrow=6
+            self.log_image_grid(
+                pair, f"{self.image_saved_dir}/step_{i}.png",
+                f"samples/recon_{i}", nrow=6,
             )

@@ -84,6 +84,7 @@ def _decode_latency_bench(log, time_fn):
     )
     gen = jax.jit(functools.partial(
         mg.apply, batch=batch, timesteps=timesteps, num_masked=1024,
+        approx_topk=True,  # speed opt-in; default decode is reference-exact
         method=MaskGitTransformer.generate,
     ))
     dt = time_fn(gen, mg_params, jax.random.key(2), iters=5)
@@ -100,6 +101,7 @@ def _decode_latency_bench(log, time_fn):
         jax.random.key(1),
     )
     mgen = jax.jit(functools.partial(muse.apply, timesteps=timesteps,
+                                     approx_topk=True,
                                      method=MUSE.generate))
     dt = time_fn(mgen, muse_params, ids, jax.random.key(2), iters=5)
     log(f"muse generate (CFG) b={batch} t={timesteps}: {dt * 1e3:.1f} ms "

@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--output", default="final.jpg")
     ap.add_argument("--num-masked", type=int, default=100)
     ap.add_argument("--timesteps", type=int, default=8)
+    ap.add_argument("--approx-topk", dest="approx_topk",
+                    action="store_true",
+                    help="faster lax.approx_max_k top-p filter (recall ~0.95) instead of the reference-exact top-count filter")
     ap.add_argument("--resolution", type=int, default=256)
     ap.add_argument("--dim", type=int, default=512)
     ap.add_argument("--depth", type=int, default=6)
@@ -74,7 +77,8 @@ def main():
     import functools as _ft
     gen = jax.jit(_ft.partial(
         model.apply, batch=1, num_masked=args.num_masked,
-        timesteps=args.timesteps, method=MaskGitTransformer.generate,
+        timesteps=args.timesteps, approx_topk=args.approx_topk,
+        method=MaskGitTransformer.generate,
     ))
     out = (gen(variables, jax.random.key(2), imgs=imgs)
            if imgs is not None else gen(variables, jax.random.key(2)))

@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--output", default="test.jpg")
     ap.add_argument("--timesteps", type=int, default=18)
+    ap.add_argument("--approx-topk", dest="approx_topk",
+                    action="store_true",
+                    help="faster lax.approx_max_k top-p filter (recall ~0.95) instead of the reference-exact top-count filter")
     ap.add_argument("--resolution", type=int, default=256)
     # decoder dims default to the reference inference config
     # (inference/muse.py:36-86: dim 768, depth 16, heads 12, mult 8)
@@ -70,6 +73,7 @@ def main():
 
     import functools as _ft
     imgs = jax.jit(_ft.partial(model.apply, timesteps=args.timesteps,
+                               approx_topk=args.approx_topk,
                                method=MUSE.generate))(
         variables, ids, jax.random.key(2))
     from PIL import Image
