@@ -92,10 +92,47 @@ class BaseTrainer:
                          f"{self.project_name}_{self.exp_name}")
         )
 
+        self._preempt_requested = False
+        self._install_preemption_handler()
+
         log.info("Train dataset size: %d", len(self.train_dl.dataset))
         log.info("Val dataset size: %d", len(self.val_dl.dataset))
         log.info("Effective iters/epoch: %d", self.num_iters_per_epoch)
         log.info("Mesh: %s", dict(self.mesh.shape))
+
+    # -- preemption resilience (SURVEY.md §5 failure detection) -----------------
+    def _install_preemption_handler(self):
+        """TPU preemption arrives as SIGTERM; convert it into a
+        checkpoint-and-exit at the next step boundary (periodic saves are
+        async, so the final save is the only synchronous one)."""
+        import signal
+        import threading
+
+        if threading.current_thread() is not threading.main_thread():
+            return
+
+        def _handler(signum, frame):
+            log.warning(
+                "signal %d received — checkpointing and exiting at the next "
+                "step boundary", signum,
+            )
+            self._preempt_requested = True
+
+        try:
+            signal.signal(signal.SIGTERM, _handler)
+        except (ValueError, OSError):  # non-main interpreter contexts
+            pass
+
+    def check_preemption(self, state) -> bool:
+        """Call once per step from the train loop. On a pending SIGTERM:
+        force a synchronous save of the CURRENT state and report True so the
+        loop can exit; resume will continue at this exact step."""
+        if not self._preempt_requested:
+            return False
+        self.ckpt.save(self.global_step, self._with_rng(state), force=True,
+                       wait=True)
+        log.warning("preemption checkpoint saved at step %d", self.global_step)
+        return True
 
     # -- helpers ----------------------------------------------------------------
     def place_state(self, state):

@@ -116,6 +116,8 @@ class MaskGitTrainer(_GeneratorTrainer):
                 img = self.shard_batch(img)
                 self.state, m = self._train_step(self.state, img, self.rng())
                 self._on_step(m)
+                if self.check_preemption(self.state):
+                    return
         log.info("Train finished!")
 
     def _on_step(self, m):
@@ -205,6 +207,8 @@ class MuseTrainer(_GeneratorTrainer):
                 if not self.global_step % self.log_every:
                     self.metrics.log(self._train_metrics(m), self.global_step)
                 self.global_step += 1
+                if self.check_preemption(self.state):
+                    return
         log.info("Train finished!")
 
     def _prompts(self):
@@ -307,6 +311,8 @@ class PartiTrainer(_GeneratorTrainer):
                 if not self.global_step % self.log_every:
                     self.metrics.log(self._train_metrics(m), self.global_step)
                 self.global_step += 1
+                if self.check_preemption(self.state):
+                    return
         log.info("Train finished!")
 
     def evaluate(self):

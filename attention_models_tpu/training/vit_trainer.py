@@ -96,6 +96,8 @@ class VitTrainer(BaseTrainer):
                         self.global_step,
                     )
                 self.global_step += 1
+                if self.check_preemption(self.state):
+                    return
         log.info("Train finished!")
 
     def evaluate(self):

@@ -27,12 +27,23 @@ class CheckpointManager:
             ),
         )
 
-    def save(self, step: int, state: Any, force: bool = False):
+    def save(self, step: int, state: Any, force: bool = False,
+             wait: bool = False):
+        """Async by default: orbax copies device arrays to host before
+        returning (safe against donated/overwritten buffers) and streams to
+        disk in the background, so training never stalls on filesystem I/O.
+        ``wait=True`` blocks until durable — use for final/preemption saves."""
         self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)
+        if wait:
+            self._mgr.wait_until_finished()
+        log.info("saved checkpoint step=%d -> %s (wait=%s)",
+                 step, self._dir, wait)
+
+    def wait(self):
         self._mgr.wait_until_finished()
-        log.info("saved checkpoint step=%d -> %s", step, self._dir)
 
     def latest_step(self):
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def restore(self, state_template: Any, step: int | None = None) -> Any:

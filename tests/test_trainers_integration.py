@@ -260,3 +260,63 @@ def test_sample_grids_logged_to_metrics_writer(tmp_path):
     assert logged, "evaluate() logged no images to the metrics writer"
     name, shape, _ = logged[0]
     assert name.startswith("samples/") and shape[0] == 3
+
+
+def test_sigterm_checkpoints_and_resumes(tmp_path):
+    """Preemption resilience: kill -TERM mid-run forces a synchronous final
+    checkpoint, and a fresh auto_resume trainer continues at that step."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(CFG_DIR)
+    code = (
+        "import jax;"
+        "jax.config.update('jax_platforms','cpu');"
+        "jax.config.update('jax_num_cpu_devices', 8);"
+        f"import sys; sys.path.insert(0, {repo!r});"
+        "from main import main;"
+        f"main(['--config={os.path.join(CFG_DIR, 'vit_overfit.yaml')}',"
+        "'training.num_epochs=100000', 'experiment.log_every=1'])"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code], cwd=tmp_path,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    metrics = tmp_path / "outputs" / "vit_overfit" / "metrics.jsonl"
+    deadline = time.time() + 300
+    while time.time() < deadline:  # wait for a few real steps
+        if metrics.exists() and len(metrics.read_text().splitlines()) >= 3:
+            break
+        if proc.poll() is not None:
+            raise AssertionError(f"run died early:\n{proc.stdout.read()}")
+        time.sleep(1)
+    else:
+        proc.kill()
+        raise AssertionError("training produced no steps within timeout")
+
+    proc.send_signal(signal.SIGTERM)
+    rc = proc.wait(timeout=120)
+    assert rc == 0, f"SIGTERM exit was not clean (rc={rc})"
+
+    from attention_models_tpu.utils.checkpoint import CheckpointManager
+
+    ckpt_dir = tmp_path / "outputs" / "vit_overfit" / "checkpoints"
+    sub = next(ckpt_dir.iterdir())
+    saved = CheckpointManager(str(sub)).latest_step()
+    assert saved is not None and saved >= 3
+
+    # resume continues from the interrupted step
+    cfg = load_config(os.path.join(CFG_DIR, "vit_overfit.yaml"))
+    cfg.set_path("experiment.auto_resume", True)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        model, patches = build_model(cfg)
+        loaders = build_loader(cfg)
+        trainer = build_trainer(cfg, model, loaders,
+                                pretrained_patches=patches)
+        assert trainer.global_step == saved
+    finally:
+        os.chdir(cwd)
