@@ -130,6 +130,7 @@ def build_model(cfg):
             clip_layers=e.get("layers", 12),
             clip_heads=e.get("heads", 12),
             remat=bool(cfg.training.get("remat", False)),
+            scan_layers=bool(cfg.training.get("scan_layers", False)),
             dtype=dtype,
         ), patches
 
@@ -150,6 +151,7 @@ def build_model(cfg):
             mult=cfg.model.mult,
             dropout=cfg.model.dropout,
             remat=bool(cfg.training.get("remat", False)),
+            scan_layers=bool(cfg.training.get("scan_layers", False)),
             dtype=dtype,
         ), patches
 
@@ -171,6 +173,7 @@ def build_model(cfg):
             clip_width=e.get("width", 768),
             clip_layers=e.get("layers", 12),
             clip_heads=e.get("heads", 12),
+            scan_layers=bool(cfg.training.get("scan_layers", False)),
             dtype=dtype,
         ), patches
 

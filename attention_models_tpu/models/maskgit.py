@@ -87,6 +87,7 @@ class MaskGitTransformer(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    scan_layers: bool = False
 
     def setup(self):
         self.vq = build_vq(self.vq_config, dtype=self.dtype)
@@ -96,7 +97,7 @@ class MaskGitTransformer(nn.Module):
             num_patches=vq_num_patches(self.vq_config),
             n_heads=self.n_heads, d_head=self.d_head,
             dec_depth=self.dec_depth, mult=self.mult, dropout=self.dropout,
-            dtype=self.dtype, remat=self.remat,
+            dtype=self.dtype, remat=self.remat, scan_layers=self.scan_layers,
         )
 
     def init_all(self, imgs, rng: jax.Array):

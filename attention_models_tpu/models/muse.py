@@ -52,6 +52,7 @@ class BidirectionalDecoder(nn.Module):
     num_patches: int
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, indices, context, context_mask=None,
@@ -67,7 +68,8 @@ class BidirectionalDecoder(nn.Module):
         x = x + pos.astype(x.dtype)
         x = Decoder(
             self.dim, self.n_heads, self.d_head, self.depth, self.mult,
-            self.dropout, dtype=self.dtype, remat=self.remat, name="decoder",
+            self.dropout, dtype=self.dtype, remat=self.remat,
+            scan=self.scan_layers, name="decoder",
         )(x, context, context_mask=context_mask, deterministic=deterministic)
         x = GammaLayerNorm(self.dim, dtype=self.dtype, name="final_norm")(x)
         return nn.Dense(
@@ -92,6 +94,7 @@ class MUSE(nn.Module):
     clip_heads: int = 12
     dtype: jnp.dtype = jnp.float32
     remat: bool = False  # rematerialize decoder blocks (trade FLOPs for HBM)
+    scan_layers: bool = False  # nn.scan the decoder stack (compile time)
 
     def setup(self):
         self.text_encoder = TextEncoder(
@@ -106,7 +109,7 @@ class MUSE(nn.Module):
             self.dim, self.codebook_size, self.n_heads, self.d_head,
             self.depth, self.mult, self.dropout,
             vq_num_patches(self.vq_config),
-            dtype=self.dtype, remat=self.remat,
+            dtype=self.dtype, remat=self.remat, scan_layers=self.scan_layers,
         )
 
     def encode_texts(self, text_ids):

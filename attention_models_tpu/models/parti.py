@@ -42,6 +42,7 @@ class Parti(nn.Module):
     clip_layers: int = 12
     clip_heads: int = 12
     dtype: jnp.dtype = jnp.float32
+    scan_layers: bool = False
 
     def setup(self):
         self.vq = build_vq(self.vq_config, dtype=self.dtype)
@@ -61,7 +62,7 @@ class Parti(nn.Module):
         self.pos_enc = SinusoidalPositionalEncoding(self.dim)
         self.transformer_decoder = Decoder(
             self.dim, self.n_heads, self.d_head, self.depth, dtype=self.dtype,
-            max_decode_len=self.num_patches,
+            max_decode_len=self.num_patches, scan=self.scan_layers,
         )
         self.init_norm = LayerNorm(self.dim, dtype=self.dtype)
         self.final_norm = LayerNorm(self.dim, dtype=self.dtype)

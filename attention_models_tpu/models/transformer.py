@@ -42,6 +42,12 @@ class EncoderLayer(nn.Module):
 
 
 class Encoder(nn.Module):
+    """``scan=True`` stacks the layers into one nn.scan-ed layer (params get
+    a leading depth axis): one layer is traced/compiled instead of `depth`
+    copies — the compile-time lever for deep models (ROADMAP #8). Weight
+    layouts differ from the loop form, so checkpoints are not interchangeable
+    between the two."""
+
     dim: int
     n_heads: int = 8
     d_head: int = 64
@@ -50,10 +56,29 @@ class Encoder(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    scan: bool = False
 
     @nn.compact
     def __call__(self, x, context_mask=None, deterministic: bool = True):
         layer_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
+        if self.scan:
+            def body(layer, x, context_mask):
+                return layer(x, context_mask, deterministic), None
+
+            x, _ = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast,),
+                length=self.depth,
+            )(
+                layer_cls(
+                    self.dim, self.n_heads, self.d_head, self.mult,
+                    self.dropout, dtype=self.dtype, name="layers",
+                ),
+                x, context_mask,
+            )
+            return x
         for i in range(self.depth):
             x = layer_cls(
                 self.dim, self.n_heads, self.d_head, self.mult, self.dropout,
@@ -107,6 +132,7 @@ class Decoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     max_decode_len: int | None = None
+    scan: bool = False
 
     @nn.compact
     def __call__(
@@ -115,6 +141,28 @@ class Decoder(nn.Module):
     ):
         layer_cls = nn.remat(DecoderLayer) if self.remat else DecoderLayer
         x = dec_in
+        if self.scan:
+            def body(layer, x, context, context_mask, causal_mask):
+                return layer(
+                    x, context, context_mask, causal_mask, causal,
+                    deterministic, decode,
+                ), None
+
+            x, _ = nn.scan(
+                body,
+                variable_axes={"params": 0, "cache": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                length=self.depth,
+            )(
+                layer_cls(
+                    self.dim, self.n_heads, self.d_head, self.mult,
+                    self.dropout, dtype=self.dtype,
+                    max_decode_len=self.max_decode_len, name="layers",
+                ),
+                x, context, context_mask, causal_mask,
+            )
+            return x
         for i in range(self.depth):
             x = layer_cls(
                 self.dim, self.n_heads, self.d_head, self.mult, self.dropout,

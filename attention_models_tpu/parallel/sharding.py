@@ -64,8 +64,12 @@ def param_shardings(
         ps = _path_str(path)
         for rx, spec in compiled:
             if rx.match(ps):
-                # only apply if the spec rank fits and the sharded dims divide
-                if len(spec) <= leaf.ndim and _divisible(leaf, spec, mesh):
+                # right-align the spec: extra LEADING dims (e.g. the depth
+                # axis of nn.scan-stacked layers) stay unsharded while the
+                # matmul dims keep their TP split
+                if len(spec) < leaf.ndim:
+                    spec = P(*([None] * (leaf.ndim - len(spec))), *spec)
+                if len(spec) == leaf.ndim and _divisible(leaf, spec, mesh):
                     return NamedSharding(mesh, spec)
         return NamedSharding(mesh, P())
 
