@@ -59,15 +59,88 @@ def load_params(model, ckpt_path: str, depth: int, example_imgs):
     return jax.jit(model.init)(jax.random.key(0), example_imgs)
 
 
+def golden_json(model, variables, imgs, indices, rec, ckpt_path, ref_path):
+    """One-command golden fidelity report: when the PyTorch reference code
+    and the released .pt are both reachable, run the torch round-trip on the
+    same image/weights and emit one JSON line with index-match rate + PSNR
+    (the BASELINE.md bit-match protocol — /root/reference/inference/
+    vitvqgan.py:21-77, README.md:43-45)."""
+    import json
+
+    import jax.numpy as jnp
+
+    from attention_models_tpu.utils.eval_metrics import psnr
+
+    out = {
+        "metric": "vitvqgan_golden_fidelity",
+        "ckpt": ckpt_path,
+        "psnr_recon_db": round(float(jnp.mean(
+            psnr(jnp.clip(jnp.array(rec), 0, 1), jnp.array(imgs))
+        )), 3),
+        "unique_codes": int(len(np.unique(np.asarray(indices)))),
+        "index_match_rate": None,
+    }
+    try:
+        import sys as _sys
+        import types
+
+        import torch
+
+        if "models" not in _sys.modules:
+            pkg = types.ModuleType("models")
+            pkg.__path__ = [os.path.join(ref_path, "models")]
+            _sys.modules["models"] = pkg
+        __import__("models.vitvqgan")
+        ref = _sys.modules["models.vitvqgan"]
+
+        def _ff(dim, mlp_dim):  # repair the snapshot's broken class
+            import torch.nn as tnn
+
+            hidden = (int(mlp_dim * 2 / 3) + 7) // 8 * 8
+            return tnn.Sequential(tnn.Linear(dim, hidden), tnn.GELU(),
+                                  tnn.Linear(hidden, dim))
+
+        ref.FeedForward = _ff
+        vit_params = dict(dim=512, img_size=imgs.shape[-1], patch_size=8,
+                          n_heads=8, d_head=64, depth=6, mlp_dim=2048,
+                          dropout=0.0)
+        m = ref.ViTVQGAN(vit_params,
+                         dict(codebook_dim=32, codebook_size=8192)).eval()
+        sd = torch.load(ckpt_path, map_location="cpu")
+        sd = sd.get("state_dict", sd)
+        m.load_state_dict(sd, strict=False)
+        with torch.no_grad():
+            idx_ref = m.encode_imgs(torch.from_numpy(np.asarray(imgs)))
+        match = float(np.mean(
+            np.asarray(indices).reshape(-1) == idx_ref.numpy().reshape(-1)
+        ))
+        out["index_match_rate"] = round(match, 6)
+    except Exception as e:  # reference or torch absent: ours-only metrics
+        out["note"] = f"torch reference unavailable ({type(e).__name__})"
+    print(json.dumps(out))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--image", required=True)
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--output", default="reconstruction.jpg")
     ap.add_argument("--resolution", type=int, default=256)
+    ap.add_argument("--golden-json", action="store_true",
+                    help="emit a one-line JSON fidelity report (index-match "
+                         "rate vs the torch reference when available, PSNR)")
+    ap.add_argument("--ref-path",
+                    default=os.environ.get("ATTN_REF_PATH",
+                                           "/root/reference"),
+                    help="PyTorch reference checkout for --golden-json")
     args = ap.parse_args()
 
     import jax
+
+    # this CLI is the golden-fidelity path: TPU fp32 matmuls default to
+    # reduced precision, which costs ~2% of codebook indices vs the torch
+    # reference — force true fp32 so indices bit-match
+    jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
 
     from attention_models_tpu.models.vitvqgan import ViTVQGAN, vitvqgan_base
@@ -88,6 +161,10 @@ def main():
     save_side_by_side(np.asarray(imgs), np.asarray(rec, np.float32),
                       args.output)
     print(f"wrote {args.output}")
+    if args.golden_json:
+        golden_json(model, variables, np.asarray(imgs),
+                    np.asarray(indices), np.asarray(rec, np.float32),
+                    args.ckpt, args.ref_path)
 
 
 if __name__ == "__main__":

@@ -140,3 +140,50 @@ def test_vit_shapes_and_jit():
     assert out.shape == (2, 10)
     # the fixed ViT must have a real mlp_dim-wide FFN (SURVEY §2.9#3)
     assert params["params"]["layers_0"]["mlp"]["mlp_in"]["kernel"].shape == (64, 128)
+
+
+def test_vitvqgan_full_parity_released_config():
+    """Bit-match at the RELEASED checkpoint's production shapes (dim 512,
+    patch 8, depth 6, 8192x32 codebook, 256 px — inference/vitvqgan.py:35-44)
+    on real image content (the reference's committed sample grids), so the
+    converter + numerics are proven where VitVQGAN.pt actually lives."""
+    import os
+
+    from PIL import Image
+
+    ref = load_ref_module("models.vitvqgan")
+    ref.FeedForward = _repaired_ff
+    torch.manual_seed(7)
+    vit_params = dict(dim=512, img_size=256, patch_size=8, n_heads=8,
+                      d_head=64, depth=6, mlp_dim=2048, dropout=0.0)
+    cb_params = dict(codebook_dim=32, codebook_size=8192)
+    m = ref.ViTVQGAN(vit_params, cb_params).eval()
+
+    img_path = "/root/reference/outputs/vitvqgan/images/step_0.png"
+    if not os.path.exists(img_path):
+        import pytest
+
+        pytest.skip("reference sample image not available")
+    pil = Image.open(img_path).convert("RGB").resize((256, 256),
+                                                     Image.BILINEAR)
+    arr = np.asarray(pil, np.float32) / 255.0
+    imgs = torch.from_numpy(arr.transpose(2, 0, 1)[None])
+
+    with torch.no_grad():
+        idx_ref = m.encode_imgs(imgs)
+        dec_ref = m.decode_indices(idx_ref)
+
+    params = {
+        "params": convert_vitvqgan(state_dict_to_numpy(m.state_dict()),
+                                   depth=6)
+    }
+    ours = ViTVQGAN(vit_params=vit_params, codebook_params=cb_params)
+    ji = jnp.array(imgs.numpy())
+    idx = ours.apply(params, ji, method=ViTVQGAN.encode_imgs)
+    dec = ours.apply(params, jnp.array(idx_ref.numpy()),
+                     method=ViTVQGAN.decode_indices)
+
+    assert idx.shape == (1, 1024)
+    np.testing.assert_array_equal(np.asarray(idx), idx_ref.numpy())
+    np.testing.assert_allclose(np.asarray(dec), dec_ref.numpy(),
+                               atol=2e-4, rtol=2e-4)
