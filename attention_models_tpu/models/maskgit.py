@@ -29,6 +29,7 @@ from attention_models_tpu.ops.sampling import (
     cross_entropy_ignore_index,
     filter_logits,
     gumbel_argmax,
+    sample_topk_filtered,
     lowest_score_mask,
     mask_fill_inputs_and_targets,
     random_mask,
@@ -52,6 +53,7 @@ class BiDirectionalTransformer(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -67,7 +69,8 @@ class BiDirectionalTransformer(nn.Module):
         h = GammaLayerNorm(self.dim, dtype=self.dtype, name="init_norm")(h)
         h = Encoder(
             self.dim, self.n_heads, self.d_head, self.dec_depth, self.mult,
-            self.dropout, dtype=self.dtype, remat=self.remat, name="decoder",
+            self.dropout, dtype=self.dtype, remat=self.remat,
+            scan=self.scan_layers, name="decoder",
         )(h, deterministic=deterministic)
         h = GammaLayerNorm(self.dim, dtype=self.dtype, name="final_norm")(h)
         return nn.Dense(
@@ -176,14 +179,18 @@ class MaskGitTransformer(nn.Module):
             mask = lowest_score_mask(scores, num_to_mask) & base_mask
             x = jnp.where(mask, self.mask_token_id, ids)
             logits = self.bidirectional_transformer(x)
-            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             temperature = steps_left.astype(jnp.float32) / timesteps
-            pred = gumbel_argmax(
-                rng_t, filter_logits(logits, filter_p, approx=approx_topk),
-                temperature,
+            # top-k runs on the model dtype (casting up adds no information
+            # and doubles the HBM traffic of the vocab-wide scan)
+            pred, chosen = sample_topk_filtered(
+                rng_t, logits, filter_p, temperature, approx=approx_topk
             )
             ids = jnp.where(mask, pred, ids)
-            new_scores = jnp.take_along_axis(probs, pred[..., None], axis=-1)[..., 0]
+            # fp32 softmax normalizer, fused into the reduce (no fp32 copy)
+            lse = jax.scipy.special.logsumexp(
+                logits.astype(jnp.float32), axis=-1
+            )
+            new_scores = jnp.exp(chosen - lse)
             scores = jnp.where(mask, new_scores, 1.0)
             return (ids, scores), None
 

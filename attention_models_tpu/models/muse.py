@@ -31,6 +31,7 @@ from attention_models_tpu.ops.sampling import (
     cross_entropy_ignore_index,
     filter_logits,
     gumbel_argmax,
+    sample_topk_filtered,
     lowest_score_mask,
     mask_fill_inputs_and_targets,
     random_mask,
@@ -182,17 +183,24 @@ class MUSE(nn.Module):
             ids = jnp.where(mask, self.mask_token_id, ids)
 
             logits2 = self.decoder(jnp.tile(ids, (2, 1)), both_ctx)
-            cond, null = jnp.split(logits2.astype(jnp.float32), 2, axis=0)
-            scaled = null + gs * (cond - null)
+            cond, null = jnp.split(logits2, 2, axis=0)  # model dtype
+            cond32 = cond.astype(jnp.float32)
+            null32 = null.astype(jnp.float32)
+            scaled = null32 + gs * (cond32 - null32)
 
-            probs = jax.nn.softmax(scaled, axis=-1)
             temperature = steps_left.astype(jnp.float32) / timesteps
-            pred = gumbel_argmax(
-                rng_t, filter_logits(scaled, filter_p, approx=approx_topk),
-                temperature,
+            # approx mode: run the vocab-wide top-k scan on a model-dtype
+            # CFG combine (half the HBM traffic); exact mode keeps the
+            # reference's fp32 combine for the filter
+            sample_in = (null + gs * (cond - null)) if approx_topk else scaled
+            pred, chosen = sample_topk_filtered(
+                rng_t, sample_in, filter_p, temperature, approx=approx_topk
             )
             ids = jnp.where(mask, pred, ids)
-            scores = jnp.take_along_axis(probs, pred[..., None], axis=-1)[..., 0]
+            # softmax prob of the chosen class without materializing
+            # softmax(scaled): exp(logit - logsumexp)
+            lse = jax.scipy.special.logsumexp(scaled, axis=-1)
+            scores = jnp.exp(chosen - lse)
             return (ids, scores), None
 
         (ids, _), _ = jax.lax.scan(step, (ids, scores), (ts, steps_until_x0, rngs))

@@ -43,14 +43,20 @@ def _nn_kernel(zt_ref, codes_t_ref, idx_ref, best_d_ref, *, block_codes: int):
         best_d_ref[:] = jnp.full_like(best_d_ref, jnp.inf)
         idx_ref[:] = jnp.zeros_like(idx_ref)
 
-    zt = zt_ref[:].astype(jnp.float32)  # (d, bn)
-    ct = codes_t_ref[:].astype(jnp.float32)  # (d, bk)
-    e_sq = jnp.sum(ct * ct, axis=0)[None, :]  # (1, bk)
+    # dots run on the input dtype with f32 accumulation (MXU native); the
+    # fp32 fidelity path (golden bit-match) passes fp32 operands and gets
+    # exact fp32 passes via HIGHEST precision.
+    zt = zt_ref[:]  # (d, bn)
+    ct = codes_t_ref[:]  # (d, bk)
+    ctf = ct.astype(jnp.float32)
+    e_sq = jnp.sum(ctf * ctf, axis=0)[None, :]  # (1, bk) fp32
     dots = jax.lax.dot_general(
         zt, ct,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (bn, bk)
+        precision=(jax.lax.Precision.HIGHEST
+                   if zt.dtype == jnp.float32 else jax.lax.Precision.DEFAULT),
+    )  # (bn, bk) fp32
     d = e_sq - 2.0 * dots
     local_min = jnp.min(d, axis=-1, keepdims=True)  # (bn, 1)
     local_arg = (
@@ -111,8 +117,8 @@ def nearest_codes(
     z: jnp.ndarray,
     codes: jnp.ndarray,
     *,
-    block_n: int = 512,
-    block_codes: int = 1024,
+    block_n: int = 1024,  # swept on v5e: (1024, 8192) beats (512, 1024) ~35%
+    block_codes: int = 8192,
     use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """argmin_j ||z_i - e_j||² over a flattened (N, d) latent batch.

@@ -28,6 +28,17 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _dot_precision(dtype):
+    """In-kernel dot precision: bf16 operands take the MXU fast path; fp32
+    operands get exact fp32 passes (the golden bit-match path runs the
+    kernels in fp32). Pinned explicitly so the ambient
+    jax_default_matmul_precision can't force an unsupported bf16+HIGHEST
+    combination into Mosaic."""
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
+
 def _flash_kernel(
     q_ref,  # (1, block_q, d)
     k_ref,  # (1, tk, d)
@@ -45,7 +56,11 @@ def _flash_kernel(
     d = q_ref.shape[2]
     q_idx = pl.program_id(1)
 
-    q = q_ref[0].astype(jnp.float32) * scale  # (bq, d)
+    # Dots run on the INPUT dtype with fp32 accumulation — the MXU's native
+    # mode. Casting bf16 operands up to fp32 before the dot would fall off
+    # the fast path (fp32 matmuls cost multiple MXU passes). The scale is
+    # applied to the fp32 scores instead of the operands.
+    q = q_ref[0]  # (bq, d)
 
     num_k_blocks = pl.cdiv(tk, block_k)
     if causal:
@@ -55,13 +70,14 @@ def _flash_kernel(
 
     def body(kb, carry):
         acc, m_prev, l_prev = carry
-        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k_blk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (bq, bk)
+            precision=_dot_precision(q_ref.dtype),
+        ) * scale  # (bq, bk) fp32
         if causal:
             rows = q_idx * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
@@ -73,13 +89,14 @@ def _flash_kernel(
 
         m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)  # (bq, bk)
+        p = jnp.exp(s - m_new)  # (bq, bk) fp32, values in [0, 1]
         alpha = jnp.exp(m_prev - m_new)  # (bq, 1)
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v_blk,
+            p.astype(v_blk.dtype), v_blk,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(q_ref.dtype),
         )
         return acc, m_new, l_new
 
@@ -177,8 +194,8 @@ def _flash_bwd_dkv_kernel(
     block_k = k_ref.shape[1]
     d = k_ref.shape[2]
     k_idx = pl.program_id(1)
-    kT = jnp.transpose(k_ref[0].astype(jnp.float32))  # (d, bk)
-    v_blk = v_ref[0].astype(jnp.float32)  # (bk, d)
+    kT = jnp.transpose(k_ref[0])  # (d, bk), native dtype for MXU dots
+    v_blk = v_ref[0]  # (bk, d)
 
     num_q_blocks = pl.cdiv(tq, block_q)
     q_start = 0
@@ -190,16 +207,17 @@ def _flash_bwd_dkv_kernel(
 
     def body(qb, carry):
         dk_acc, dv_acc = carry
-        q_blk = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        do_blk = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        q_blk = q_ref[0, pl.ds(qb * block_q, block_q), :]
+        do_blk = do_ref[0, pl.ds(qb * block_q, block_q), :]
         lse_blk = lse_ref[0, pl.ds(qb * block_q, block_q), :]  # (bq, 1)
         delta_blk = delta_ref[0, pl.ds(qb * block_q, block_q), :]  # (bq, 1)
 
         s = jax.lax.dot_general(
-            q_blk * scale, kT,
+            q_blk, kT,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (bq, bk)
+            precision=_dot_precision(q_ref.dtype),
+        ) * scale  # (bq, bk) fp32
         p = jnp.exp(s - lse_blk)
         if causal:
             rows = qb * block_q + jax.lax.broadcasted_iota(
@@ -212,23 +230,26 @@ def _flash_bwd_dkv_kernel(
 
         # dV += P^T dO
         dv_acc = dv_acc + jax.lax.dot_general(
-            p, do_blk,
+            p.astype(do_blk.dtype), do_blk,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(q_ref.dtype),
         )
         # dP = dO V^T ; dS = P * (dP - delta)
         dp = jax.lax.dot_general(
             do_blk, v_blk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(q_ref.dtype),
         )
         ds = p * (dp - delta_blk)
-        # dK += dS^T (q * scale)
+        # dK += scale * dS^T q
         dk_acc = dk_acc + jax.lax.dot_general(
-            ds, q_blk * scale,
+            ds.astype(q_blk.dtype), q_blk,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+            precision=_dot_precision(q_ref.dtype),
+        ) * scale
         return dk_acc, dv_acc
 
     init = (
@@ -261,8 +282,8 @@ def _flash_bwd_dq_kernel(
     d = q_ref.shape[2]
     q_idx = pl.program_id(1)
 
-    q_blk = q_ref[0].astype(jnp.float32) * scale
-    do_blk = do_ref[0].astype(jnp.float32)
+    q_blk = q_ref[0]  # native dtype for MXU dots; scale applied to scores
+    do_blk = do_ref[0]
     lse_blk = lse_ref[0]  # (bq, 1)
     delta_blk = delta_ref[0]  # (bq, 1)
 
@@ -272,13 +293,14 @@ def _flash_bwd_dq_kernel(
         num_k_blocks = (jnp.minimum(max_col, tk) + block_k - 1) // block_k
 
     def body(kb, dq_acc):
-        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(
             q_blk, k_blk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (bq, bk)
+            precision=_dot_precision(q_ref.dtype),
+        ) * scale  # (bq, bk) fp32
         p = jnp.exp(s - lse_blk)
         if causal:
             rows = q_idx * block_q + jax.lax.broadcasted_iota(
@@ -292,12 +314,14 @@ def _flash_bwd_dq_kernel(
             do_blk, v_blk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(q_ref.dtype),
         )
         ds = p * (dp - delta_blk)
         return dq_acc + jax.lax.dot_general(
-            ds, k_blk,
+            ds.astype(k_blk.dtype), k_blk,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(q_ref.dtype),
         )
 
     dq = jax.lax.fori_loop(

@@ -59,6 +59,36 @@ def gumbel_argmax(
     return jnp.argmax(noised, axis=-1).astype(jnp.int32)
 
 
+def sample_topk_filtered(
+    key: jax.Array,
+    logits: jnp.ndarray,  # (..., C)
+    p: float = 0.9,
+    temperature: jnp.ndarray | float = 1.0,
+    approx: bool = False,
+):
+    """Fused ``gumbel_argmax(filter_logits(logits, p), temperature)`` that
+    never materializes a filtered copy of the (…, C) logits: the top
+    ``ceil((1-p)·C)`` classes are extracted once and the noise + argmax run
+    on that k-shortlist (identical sampling distribution — the dropped
+    classes are -inf either way, and gumbel noise is iid). At Muse decode
+    shapes this replaces a (2·... , 8192) noise tensor + full-width argmax
+    with k=820-wide ones. Returns (pred ids, chosen pre-softmax logit) —
+    combine the logit with a full-width logsumexp for the chosen class's
+    softmax probability instead of materializing softmax(logits)."""
+    n_classes = logits.shape[-1]
+    k = math.ceil((1 - p) * n_classes)
+    if approx:
+        vals, idx = jax.lax.approx_max_k(logits, k)
+    else:
+        vals, idx = jax.lax.top_k(logits, k)
+    g = jax.random.gumbel(key, vals.shape, dtype=jnp.float32)
+    noised = vals.astype(jnp.float32) + jnp.asarray(temperature, jnp.float32) * g
+    choice = jnp.argmax(noised, axis=-1)
+    pred = jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0]
+    chosen = jnp.take_along_axis(vals, choice[..., None], axis=-1)[..., 0]
+    return pred.astype(jnp.int32), chosen.astype(jnp.float32)
+
+
 def random_mask(
     key: jax.Array, batch: int, seq_len: int
 ) -> jnp.ndarray:

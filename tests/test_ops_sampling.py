@@ -89,3 +89,42 @@ def test_cross_entropy_ignore_index_matches_torch():
         ignore_index=-1,
     ).item()
     assert abs(ours - ref) < 1e-5
+
+
+def test_sample_topk_filtered_equivalence():
+    """Shortlist sampler == gumbel_argmax(filter_logits(...)) at temperature
+    0 (deterministic argmax of the filtered logits), and the returned chosen
+    logit matches the prediction's logit."""
+    import numpy as np
+
+    rs = np.random.RandomState(0)
+    logits = jnp.array(rs.randn(4, 16, 64).astype(np.float32))
+    from attention_models_tpu.ops.sampling import sample_topk_filtered
+
+    pred, chosen = sample_topk_filtered(jax.random.key(1), logits, p=0.9,
+                                        temperature=0.0)
+    ref = gumbel_argmax(jax.random.key(1), filter_logits(logits, 0.9), 0.0)
+    np.testing.assert_array_equal(np.asarray(pred), np.asarray(ref))
+    np.testing.assert_allclose(
+        np.asarray(chosen),
+        np.take_along_axis(np.asarray(logits),
+                           np.asarray(pred)[..., None], -1)[..., 0],
+        rtol=1e-6,
+    )
+
+
+def test_sample_topk_filtered_respects_filter():
+    """Sampled ids must always come from the top-k kept set, at any temp."""
+    import numpy as np
+
+    rs = np.random.RandomState(1)
+    logits = jnp.array(rs.randn(2, 8, 32).astype(np.float32))
+    from attention_models_tpu.ops.sampling import sample_topk_filtered
+
+    k = int(np.ceil((1 - 0.9) * 32))
+    top = np.argsort(np.asarray(logits), -1)[..., ::-1][..., :k]
+    for i in range(5):
+        pred, _ = sample_topk_filtered(jax.random.key(i), logits, p=0.9,
+                                       temperature=5.0)
+        in_top = (np.asarray(pred)[..., None] == top).any(-1)
+        assert in_top.all()
