@@ -26,6 +26,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634  # 1/ln(2)
+LN2 = 0.6931471805599453
 
 
 def _dot_precision(dtype):
@@ -58,15 +60,30 @@ def _flash_kernel(
 
     # Dots run on the INPUT dtype with fp32 accumulation — the MXU's native
     # mode. Casting bf16 operands up to fp32 before the dot would fall off
-    # the fast path (fp32 matmuls cost multiple MXU passes). The scale is
-    # applied to the fp32 scores instead of the operands.
-    q = q_ref[0]  # (bq, d)
+    # the fast path (fp32 matmuls cost multiple MXU passes).
+    #
+    # bf16 fast path: the softmax runs in the exp2 domain with scale·log2(e)
+    # folded into q BEFORE the dot — that deletes the (bq, bk) score-scaling
+    # multiply per block AND the hidden ×log2e inside every exp (TPU exp
+    # lowers to exp2). At d_head 64 / t 1024 the forward is bound by these
+    # VPU passes over the t² scores, not by MXU FLOPs (README perf notes),
+    # so each deleted pass is direct step time. fp32 keeps the exact
+    # score-domain formulation (the golden bit-match path).
+    fast = q_ref.dtype != jnp.float32
+    if fast:
+        q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(
+            q_ref.dtype
+        )  # (bq, d) — 16-64x fewer elements than the (bq, bk) scores
+    else:
+        q = q_ref[0]  # (bq, d)
 
     num_k_blocks = pl.cdiv(tk, block_k)
     if causal:
         # rows of this q block attend to cols <= row + (tk - tq)
         max_col = (q_idx + 1) * block_q + (tk - tq)
         num_k_blocks = (jnp.minimum(max_col, tk) + block_k - 1) // block_k
+
+    exp_fn = jnp.exp2 if fast else jnp.exp
 
     def body(kb, carry):
         acc, m_prev, l_prev = carry
@@ -77,7 +94,9 @@ def _flash_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_dot_precision(q_ref.dtype),
-        ) * scale  # (bq, bk) fp32
+        )  # (bq, bk) fp32 — log2-domain scores on the fast path
+        if not fast:
+            s = s * scale
         if causal:
             rows = q_idx * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
@@ -89,8 +108,8 @@ def _flash_kernel(
 
         m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)  # (bq, bk) fp32, values in [0, 1]
-        alpha = jnp.exp(m_prev - m_new)  # (bq, 1)
+        p = exp_fn(s - m_new)  # (bq, bk) fp32, values in [0, 1]
+        alpha = exp_fn(m_prev - m_new)  # (bq, 1)
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
             p.astype(v_blk.dtype), v_blk,
@@ -107,7 +126,11 @@ def _flash_kernel(
     )
     acc, m, l = jax.lax.fori_loop(0, num_k_blocks, body, init)
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(l)  # (bq, 1)
+    # the saved logsumexp is ALWAYS natural-log (the backward contract)
+    if fast:
+        lse_ref[0] = (m + jnp.log2(l)) * LN2  # (bq, 1)
+    else:
+        lse_ref[0] = m + jnp.log(l)  # (bq, 1)
 
 
 def _pick_block(t: int, pref: int) -> int:
@@ -196,6 +219,12 @@ def _flash_bwd_dkv_kernel(
     k_idx = pl.program_id(1)
     kT = jnp.transpose(k_ref[0])  # (d, bk), native dtype for MXU dots
     v_blk = v_ref[0]  # (bk, d)
+    # bf16 fast path: exp2-domain recompute of P (see _flash_kernel); the
+    # score multiply constant absorbs log2e and lse (natural log, per the
+    # residual contract) converts on the cheap (bq, 1) side.
+    fast = q_ref.dtype != jnp.float32
+    s_scale = scale * LOG2E if fast else scale
+    exp_fn = jnp.exp2 if fast else jnp.exp
 
     num_q_blocks = pl.cdiv(tq, block_q)
     q_start = 0
@@ -217,8 +246,8 @@ def _flash_bwd_dkv_kernel(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_dot_precision(q_ref.dtype),
-        ) * scale  # (bq, bk) fp32
-        p = jnp.exp(s - lse_blk)
+        ) * s_scale  # (bq, bk) fp32
+        p = exp_fn(s - (lse_blk * LOG2E if fast else lse_blk))
         if causal:
             rows = qb * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
@@ -286,6 +315,12 @@ def _flash_bwd_dq_kernel(
     do_blk = do_ref[0]
     lse_blk = lse_ref[0]  # (bq, 1)
     delta_blk = delta_ref[0]  # (bq, 1)
+    # bf16 fast path: exp2-domain P recompute (see _flash_bwd_dkv_kernel)
+    fast = q_ref.dtype != jnp.float32
+    s_scale = scale * LOG2E if fast else scale
+    exp_fn = jnp.exp2 if fast else jnp.exp
+    if fast:
+        lse_blk = lse_blk * LOG2E
 
     num_k_blocks = pl.cdiv(tk, block_k)
     if causal:
@@ -300,8 +335,8 @@ def _flash_bwd_dq_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_dot_precision(q_ref.dtype),
-        ) * scale  # (bq, bk) fp32
-        p = jnp.exp(s - lse_blk)
+        ) * s_scale  # (bq, bk) fp32
+        p = exp_fn(s - lse_blk)
         if causal:
             rows = q_idx * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
@@ -330,11 +365,15 @@ def _flash_bwd_dq_kernel(
     dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
 
-def _flash_backward(
-    q, k, v, o, lse, g,
+def flash_bwd_dkv(
+    q, g, lse, delta, k, v,
     *, scale: float, causal: bool, block_q: int, block_k: int,
     interpret: bool = False,
 ):
+    """Partial gradients dk, dv of flash attention for the given k/v chunk,
+    using the GLOBAL logsumexp ``lse`` and ``delta = rowsum(dO·O)`` — so it is
+    reusable per-chunk by the ring/context-parallel backward (the global lse
+    makes each chunk's recomputed P the true global softmax slice)."""
     b, h, tq, d = q.shape
     tk = k.shape[2]
     # backward keeps three (bq, bk) fp32 intermediates (p, dp, ds) live per
@@ -347,10 +386,7 @@ def _flash_backward(
     vf = v.reshape(b * h, tk, d)
     dof = g.reshape(b * h, tq, d)
     lsef = lse.reshape(b * h, tq, 1)
-    # delta_i = rowsum(dO_i * O_i) — cheap elementwise, let XLA fuse it
-    delta = jnp.sum(
-        g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
-    ).reshape(b * h, tq, 1)
+    delta = delta.reshape(b * h, tq, 1)
 
     dkv_kernel = functools.partial(
         _flash_bwd_dkv_kernel, scale=scale, causal=causal, block_q=bq,
@@ -390,6 +426,27 @@ def _flash_backward(
         ),
         interpret=interpret,
     )(qf, dof, lsef, delta, kf, vf)
+    return dk.reshape(b, h, tk, d), dv.reshape(b, h, tk, d)
+
+
+def flash_bwd_dq(
+    k, v, q, g, lse, delta,
+    *, scale: float, causal: bool, block_q: int, block_k: int,
+    interpret: bool = False,
+):
+    """Partial gradient dq of flash attention against the given k/v chunk,
+    using the GLOBAL ``lse``/``delta`` (see flash_bwd_dkv)."""
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    bq = _pick_block(tq, min(block_q, 512))
+    bk = _pick_block(tk, min(block_k, 512))
+
+    qf = q.reshape(b * h, tq, d)
+    kf = k.reshape(b * h, tk, d)
+    vf = v.reshape(b * h, tk, d)
+    dof = g.reshape(b * h, tq, d)
+    lsef = lse.reshape(b * h, tq, 1)
+    delta = delta.reshape(b * h, tq, 1)
 
     dq_kernel = functools.partial(
         _flash_bwd_dq_kernel, scale=scale, causal=causal, block_k=bk,
@@ -422,12 +479,29 @@ def _flash_backward(
         ),
         interpret=interpret,
     )(kf, vf, qf, dof, lsef, delta)
+    return dq.reshape(b, h, tq, d)
 
-    return (
-        dq.reshape(b, h, tq, d),
-        dk.reshape(b, h, tk, d),
-        dv.reshape(b, h, tk, d),
+
+def flash_delta(o, g):
+    """delta_i = rowsum(dO_i * O_i) — cheap elementwise, let XLA fuse it."""
+    return jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+
+
+def _flash_backward(
+    q, k, v, o, lse, g,
+    *, scale: float, causal: bool, block_q: int, block_k: int,
+    interpret: bool = False,
+):
+    delta = flash_delta(o, g)
+    dk, dv = flash_bwd_dkv(
+        q, g, lse, delta, k, v, scale=scale, causal=causal,
+        block_q=block_q, block_k=block_k, interpret=interpret,
     )
+    dq = flash_bwd_dq(
+        k, v, q, g, lse, delta, scale=scale, causal=causal,
+        block_q=block_q, block_k=block_k, interpret=interpret,
+    )
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
@@ -466,11 +540,16 @@ def flash_attention(
     *,
     scale: float | None = None,
     causal: bool = False,
-    block_q: int = 1024,
+    block_q: int = 512,
     block_k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Flash attention over (b, h, t, d) tensors. Differentiable."""
+    """Flash attention over (b, h, t, d) tensors. Differentiable.
+
+    Default blocks (512, 1024) measured fastest at the t=1024 d=64 recon
+    shape on v5e (0.82 ms vs 0.90-1.05 for 1024x1024/256x1024 at b8 h8):
+    two q blocks per (b·h) program let the grid pipeline DMA against the
+    VPU-bound softmax."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     return _flash(causal, scale, block_q, block_k, interpret, q, k, v)

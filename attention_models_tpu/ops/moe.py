@@ -14,6 +14,8 @@ SwitchHead ``moe_out`` quirk, SURVEY.md §2.9#8 — via ``weights=None``).
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -139,3 +141,118 @@ def moe_linear(
             x, w, selected, weights, b, capacity_factor=capacity_factor
         )
     raise ValueError(f"unknown moe impl {impl!r}")
+
+
+def moe_linear_ep_local(
+    x: jnp.ndarray,  # (n_local, d_in) — this device's token shard
+    w: jnp.ndarray,  # (E/ep, d_in, d_out) — this device's expert shard
+    selected: jnp.ndarray,  # (n_local, k) GLOBAL expert ids
+    weights: jnp.ndarray | None = None,  # (n_local, k)
+    b: jnp.ndarray | None = None,  # (E/ep, d_out)
+    *,
+    axis_name: str,
+    axis_size: int,
+    capacity_factor: float | None = 2.0,
+) -> jnp.ndarray:
+    """Distributed expert-parallel dispatch (per-shard; use inside shard_map).
+
+    The canonical switch-transformer layout: tokens AND experts are sharded
+    over the same mesh axis. Each device buckets its local tokens by global
+    expert, one `all_to_all` ships every bucket to the expert's owner, the
+    owner runs one (e_loc, ep*C, d_in)@(d_in, d_out) batched matmul, and a
+    second `all_to_all` ships results home for the weighted combine. Replaces
+    what the reference never had (its MoE is a host loop over experts —
+    /root/reference/models/moe.py:31-36); both all_to_alls ride ICI.
+
+    Capacity is per (source device, expert): C = ceil(cf·n_loc·k/E); tokens
+    over capacity are dropped exactly like moe_linear_scatter. Differentiable
+    (all_to_all is linear; XLA autodiffs the whole dispatch).
+    """
+    ep = axis_size
+    e_total = w.shape[0] * ep
+    e_loc = w.shape[0]
+    n, k = selected.shape
+    d_in = x.shape[-1]
+
+    if capacity_factor is None:
+        cap = n * k  # dropless worst case
+    else:
+        cap = max(int(math.ceil(capacity_factor * n * k / e_total)), 1)
+
+    # position of each (token, slot) within its (global) expert bucket
+    sel_flat = selected.reshape(-1)  # (n*k,)
+    one_hot = jax.nn.one_hot(sel_flat, e_total, dtype=jnp.int32)
+    pos = jnp.take_along_axis(
+        jnp.cumsum(one_hot, axis=0) - 1, sel_flat[:, None], axis=-1
+    )[:, 0]
+    keep = pos < cap
+
+    buckets = jnp.zeros((e_total, cap, d_in), x.dtype)
+    tok_ids = jnp.repeat(jnp.arange(n), k)
+    # out-of-capacity pairs have pos >= cap -> discarded by mode="drop"
+    buckets = buckets.at[sel_flat, pos].set(x[tok_ids], mode="drop")
+
+    # ship buckets to expert owners: (ep, e_loc, C, d) -> [src j] for my experts
+    send = buckets.reshape(ep, e_loc, cap, d_in)
+    recv = jax.lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0,
+                              tiled=False)
+    xin = jnp.transpose(recv, (1, 0, 2, 3)).reshape(e_loc, ep * cap, d_in)
+
+    y = jnp.einsum(
+        "ecd,edh->ech", xin.astype(jnp.float32), w.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        y = y + b.astype(jnp.float32)[:, None, :]
+    d_out = y.shape[-1]
+
+    # ship results home: inverse of the forward exchange
+    back = jnp.transpose(
+        y.reshape(e_loc, ep, cap, d_out), (1, 0, 2, 3)
+    ).astype(x.dtype)
+    home = jax.lax.all_to_all(back, axis_name, split_axis=0, concat_axis=0,
+                              tiled=False)
+    y_all = home.reshape(e_total, cap, d_out)
+
+    out_slots = y_all[sel_flat, jnp.where(keep, pos, 0)].astype(jnp.float32)
+    out_slots = jnp.where(keep[:, None], out_slots, 0)
+    if weights is not None:
+        out_slots = out_slots * weights.reshape(-1)[:, None].astype(jnp.float32)
+    return jnp.sum(out_slots.reshape(n, k, d_out), axis=1).astype(x.dtype)
+
+
+def moe_linear_ep(
+    x: jnp.ndarray,  # (n, d_in) GLOBAL tokens
+    w: jnp.ndarray,  # (E, d_in, d_out) GLOBAL expert bank
+    selected: jnp.ndarray,  # (n, k)
+    weights: jnp.ndarray | None,
+    mesh,
+    *,
+    axis_name: str = "data",
+    b: jnp.ndarray | None = None,
+    capacity_factor: float | None = 2.0,
+) -> jnp.ndarray:
+    """Global-tensor wrapper: shard tokens and experts over ``axis_name`` and
+    run the all_to_all dispatch. E and n must divide the axis size."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    ep = mesh.shape[axis_name]
+    fn = jax.shard_map(
+        functools.partial(
+            moe_linear_ep_local, axis_name=axis_name, axis_size=ep,
+            capacity_factor=capacity_factor,
+        ),
+        mesh=mesh,
+        in_specs=(
+            P(axis_name, None),          # x: tokens sharded
+            P(axis_name, None, None),    # w: experts sharded
+            P(axis_name, None),          # selected
+            None if weights is None else P(axis_name, None),
+            None if b is None else P(axis_name, None),
+        ),
+        out_specs=P(axis_name, None),
+        check_vma=False,
+    )
+    return fn(x, w, selected, weights, b)

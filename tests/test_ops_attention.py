@@ -175,3 +175,41 @@ def test_flash_gradients_bf16():
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             rtol=0.1, atol=0.1,
         )
+
+
+def test_flash_bf16_fast_path_matches_fp32_reference():
+    """The bf16 kernels run an exp2-domain softmax with scale*log2e folded
+    into q (one fewer VPU pass over the t^2 scores). Values and gradients
+    must still match the fp32 XLA reference to bf16 resolution."""
+    import jax
+
+    rs = np.random.RandomState(7)
+    q, k, v = (jnp.array(rs.randn(2, 4, 128, 32), jnp.bfloat16)
+               for _ in range(3))
+    scale = 32 ** -0.5
+    qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
+    ref = multihead_attention(qf, kf, vf, scale=scale)
+    got = flash_attention(q, k, v, scale=scale, block_q=64, block_k=64,
+                          interpret=True)
+    assert np.abs(np.asarray(got, np.float32) - np.asarray(ref)).max() < 0.03
+
+    w = jnp.array(rs.randn(2, 4, 128, 32), jnp.float32)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, scale=scale, block_q=64, block_k=64,
+                            interpret=True)
+        return jnp.sum(o.astype(jnp.float32) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            multihead_attention(
+                q.astype(jnp.float32), k.astype(jnp.float32),
+                v.astype(jnp.float32), scale=scale,
+            ) * w
+        )
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        e = np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32)).max()
+        assert e < 0.06 * max(np.abs(np.asarray(b)).max(), 1.0), e
