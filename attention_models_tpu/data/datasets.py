@@ -16,6 +16,21 @@ import numpy as np
 from attention_models_tpu.data.transforms import Transform
 
 
+def _raw_item(path: str) -> bytes | None:
+    """In native-pipeline (raw) mode, JPEG files skip host decoding entirely:
+    the raw bytes ride to NativeBatchTransform, which decodes + preprocesses
+    in one fused multithreaded C++ call (libjpeg). Returns None for non-JPEGs
+    or when the native library lacks JPEG support."""
+    if not path.lower().endswith((".jpg", ".jpeg")):
+        return None
+    from attention_models_tpu.native import has_jpeg
+
+    if not has_jpeg():
+        return None
+    with open(path, "rb") as f:
+        return f.read()
+
+
 class CocoCaptions:
     """Reads {root}/{dataType}/ images + {root}/annotations/captions_*.json.
     Truncated by experiment.max_train_examples like the reference (its
@@ -52,11 +67,15 @@ class CocoCaptions:
         from PIL import Image
 
         imgid = self.imgids[idx]
-        img = Image.open(os.path.join(self.img_dir, self.file_by_imgid[imgid]))
+        path = os.path.join(self.img_dir, self.file_by_imgid[imgid])
         caption = str(self.rng.choice(self.captions[imgid]))
         if self.raw:
-            return np.asarray(img.convert("RGB"), np.uint8), caption
-        return self.transform(img), caption
+            data = _raw_item(path)  # bytes when native JPEG decode available
+            if data is not None:
+                return data, caption
+            return np.asarray(Image.open(path).convert("RGB"),
+                              np.uint8), caption
+        return self.transform(Image.open(path)), caption
 
 
 class ImageFolder:
@@ -88,6 +107,9 @@ class ImageFolder:
 
         path, label = self.samples[idx]
         if self.raw:
+            data = _raw_item(path)
+            if data is not None:
+                return data, label
             return np.asarray(Image.open(path).convert("RGB"), np.uint8), label
         return self.transform(Image.open(path)), label
 

@@ -138,3 +138,33 @@ def build_loader(cfg):
     val_dl = DataLoader(val_ds, int(params.batch_size), shuffle=False,
                         drop_last=False, batch_transform=val_bt)
     return train_dl, val_dl
+
+
+def device_prefetch(iterable, place_fn, depth: int = 2):
+    """Overlap host->device transfer with device compute: a background
+    thread applies ``place_fn`` (e.g. the trainer's shard_batch) to each
+    batch one step ahead, so the DMA for step N+1 runs while step N computes.
+    The reference's torch DataLoader has pin_memory in its config but never
+    passes it through (SURVEY.md §2.6 build_loader); this is the working
+    TPU equivalent."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = object()
+    error: list[BaseException] = []
+
+    def produce():
+        try:
+            for item in iterable:
+                q.put(place_fn(item))
+        except BaseException as e:  # re-raised in the consumer
+            error.append(e)
+        finally:
+            q.put(stop)
+
+    threading.Thread(target=produce, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is stop:
+            if error:
+                raise error[0]
+            return
+        yield item

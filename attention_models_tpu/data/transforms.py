@@ -106,9 +106,25 @@ class NativeBatchTransform:
         self.num_threads = num_threads
 
     def __call__(self, images: list) -> np.ndarray:
+        """Items may be decoded uint8 HWC arrays OR raw JPEG file bytes —
+        bytes go through the fused native decode+preprocess (no PIL on the
+        hot path); corrupt entries fall back to PIL per item."""
         from attention_models_tpu.native import preprocess_batch
 
         n = len(images)
+        is_bytes = [isinstance(im, (bytes, bytearray, memoryview))
+                    for im in images]
+        if any(is_bytes):
+            out = np.empty((n, 3, self.size, self.size), np.float32)
+            byte_idx = [i for i in range(n) if is_bytes[i]]
+            arr_idx = [i for i in range(n) if not is_bytes[i]]
+            if byte_idx:
+                dec = self._decode_batch([bytes(images[i]) for i in byte_idx])
+                out[byte_idx] = dec
+            if arr_idx:
+                out[arr_idx] = self([images[i] for i in arr_idx])
+            return out
+
         tops = np.zeros(n, np.int32)
         lefts = np.zeros(n, np.int32)
         flips = np.zeros(n, np.uint8)
@@ -128,3 +144,35 @@ class NativeBatchTransform:
                 flips[i] = self.rng.random() < 0.5
         return preprocess_batch(images, self.resize_to, self.size, tops,
                                 lefts, flips, self.num_threads)
+
+    def _decode_batch(self, jpegs: list) -> np.ndarray:
+        from attention_models_tpu.native import decode_preprocess_batch
+
+        n = len(jpegs)
+        if self.random_crop:
+            tf = self.rng.random(n, np.float32)
+            lf = self.rng.random(n, np.float32)
+        else:
+            tf = np.full(n, -1.0, np.float32)  # negative = center crop
+            lf = np.full(n, -1.0, np.float32)
+        flips = (
+            (self.rng.random(n) < 0.5).astype(np.uint8)
+            if self.random_flip else np.zeros(n, np.uint8)
+        )
+        res = decode_preprocess_batch(jpegs, self.resize_to, self.size,
+                                      tf, lf, flips, self.num_threads)
+        if res is None:  # built without libjpeg: decode via PIL instead
+            return self([_pil_decode(b) for b in jpegs])
+        out, ok = res
+        bad = [i for i in range(n) if not ok[i]]
+        if bad:  # corrupt JPEGs: per-item PIL fallback
+            out[bad] = self([_pil_decode(jpegs[i]) for i in bad])
+        return out
+
+
+def _pil_decode(data: bytes) -> np.ndarray:
+    import io
+
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), np.uint8)

@@ -95,6 +95,18 @@ class BaseTrainer:
         self._preempt_requested = False
         self._install_preemption_handler()
 
+        # observability (SURVEY.md §5 tracing): per-step latency EMA logged
+        # with the training metrics, plus a config-gated jax.profiler window
+        # (training.profile_step = first step to trace, training.
+        # profile_num_steps = window length) dumped TensorBoard-viewable.
+        from attention_models_tpu.utils.profiling import StepTimer
+
+        self.step_timer = StepTimer()
+        self._profile_start = cfg.training.get("profile_step")
+        self._profile_steps = int(cfg.training.get("profile_num_steps", 5) or 5)
+        self._profile_dir = os.path.join(output_folder, "profile")
+        self._profiling = False
+
         log.info("Train dataset size: %d", len(self.train_dl.dataset))
         log.info("Val dataset size: %d", len(self.val_dl.dataset))
         log.info("Effective iters/epoch: %d", self.num_iters_per_epoch)
@@ -133,6 +145,43 @@ class BaseTrainer:
                        wait=True)
         log.warning("preemption checkpoint saved at step %d", self.global_step)
         return True
+
+    # -- observability ------------------------------------------------------
+    def tick(self, sync_on=None):
+        """Call once per train step, right after the step call. Updates the
+        step-latency EMA (logged at the ``log_every`` cadence as
+        ``step_time_ms`` / ``imgs_per_sec``) and opens/closes the
+        config-gated profiler window."""
+        t = self.step_timer
+        if t._t0 is not None:
+            dt = t.stop(sync_on=sync_on)
+            if self.log_every and not self.global_step % self.log_every:
+                self.metrics.log(
+                    {
+                        "step_time_ms": 1000.0 * dt,
+                        "step_time_ms_avg": 1000.0 * t.average,
+                        "imgs_per_sec": self.batch_size / max(t.average, 1e-9),
+                    },
+                    self.global_step,
+                )
+        t.start()
+        if self._profile_start is None:
+            return
+        start = int(self._profile_start)
+        if not self._profiling and self.global_step == start:
+            jax.profiler.start_trace(self._profile_dir)
+            self._profiling = True
+            log.info("profiler trace started (steps %d..%d) -> %s",
+                     start, start + self._profile_steps, self._profile_dir)
+        elif self._profiling and self.global_step >= start + self._profile_steps:
+            self.stop_profiler()
+
+    def stop_profiler(self):
+        """Close a pending profiler window (also called at train exit)."""
+        if self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
+            log.info("profiler trace written to %s", self._profile_dir)
 
     # -- helpers ----------------------------------------------------------------
     def place_state(self, state):

@@ -110,14 +110,18 @@ class MaskGitTrainer(_GeneratorTrainer):
         self._train_step, self._recon_step = train_step, recon_step
 
     def train(self):
+        from attention_models_tpu.data.loaders import device_prefetch
+
         start_epoch = self.global_step // max(len(self.train_dl), 1)
         for _epoch in range(start_epoch, self.num_epoch):
-            for img, _ in self.train_dl:
-                img = self.shard_batch(img)
+            # host->device DMA for batch N+1 overlaps step N
+            for img in device_prefetch(self.train_dl,
+                                       lambda b: self.shard_batch(b[0])):
                 self.state, m = self._train_step(self.state, img, self.rng())
                 self._on_step(m)
                 if self.check_preemption(self.state):
                     return
+        self.stop_profiler()
         log.info("Train finished!")
 
     def _on_step(self, m):
@@ -127,6 +131,7 @@ class MaskGitTrainer(_GeneratorTrainer):
             self.evaluate()
         if not self.global_step % self.log_every:
             self.metrics.log(self._train_metrics(m), self.global_step)
+        self.tick(sync_on=m)
         self.global_step += 1
 
     def evaluate(self):
@@ -188,11 +193,16 @@ class MuseTrainer(_GeneratorTrainer):
         self._train_step, self._generate_step = train_step, generate_step
 
     def train(self):
+        from attention_models_tpu.data.loaders import device_prefetch
+
+        def place(batch):  # tokenize + DMA in the prefetch thread
+            img, texts = batch
+            return (self.shard_batch(img),
+                    self.shard_batch(tokenize(list(texts), self.max_length)))
+
         start_epoch = self.global_step // max(len(self.train_dl), 1)
         for _epoch in range(start_epoch, self.num_epoch):
-            for img, texts in self.train_dl:
-                ids = self.shard_batch(tokenize(list(texts), self.max_length))
-                img = self.shard_batch(img)
+            for img, ids in device_prefetch(self.train_dl, place):
                 self.state, m = self._train_step(self.state, ids, img,
                                                  self.rng())
                 if (self.global_step
@@ -206,9 +216,11 @@ class MuseTrainer(_GeneratorTrainer):
                     self.evaluate()
                 if not self.global_step % self.log_every:
                     self.metrics.log(self._train_metrics(m), self.global_step)
+                self.tick(sync_on=m)
                 self.global_step += 1
                 if self.check_preemption(self.state):
                     return
+        self.stop_profiler()
         log.info("Train finished!")
 
     def _prompts(self):
@@ -295,11 +307,16 @@ class PartiTrainer(_GeneratorTrainer):
         self._train_step = train_step
 
     def train(self):
+        from attention_models_tpu.data.loaders import device_prefetch
+
+        def place(batch):
+            img, texts = batch
+            return (self.shard_batch(img),
+                    self.shard_batch(tokenize(list(texts), self.max_length)))
+
         start_epoch = self.global_step // max(len(self.train_dl), 1)
         for _epoch in range(start_epoch, self.num_epoch):
-            for img, texts in self.train_dl:
-                ids = self.shard_batch(tokenize(list(texts), self.max_length))
-                img = self.shard_batch(img)
+            for img, ids in device_prefetch(self.train_dl, place):
                 self.state, m = self._train_step(self.state, ids, img,
                                                  self.rng())
                 if (self.global_step
@@ -310,9 +327,11 @@ class PartiTrainer(_GeneratorTrainer):
                     self.evaluate()
                 if not self.global_step % self.log_every:
                     self.metrics.log(self._train_metrics(m), self.global_step)
+                self.tick(sync_on=m)
                 self.global_step += 1
                 if self.check_preemption(self.state):
                     return
+        self.stop_profiler()
         log.info("Train finished!")
 
     def evaluate(self):

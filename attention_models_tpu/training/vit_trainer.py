@@ -78,11 +78,16 @@ class VitTrainer(BaseTrainer):
         self._train_step, self._eval_step = train_step, eval_step
 
     def train(self):
+        from attention_models_tpu.data.loaders import device_prefetch
+
+        def place(batch):
+            img, target = batch
+            return (self.shard_batch(img),
+                    self.shard_batch(np.asarray(target)))
+
         start_epoch = self.global_step // max(len(self.train_dl), 1)
         for _epoch in range(start_epoch, self.num_epoch):
-            for img, target in self.train_dl:
-                img = self.shard_batch(img)
-                target = self.shard_batch(np.asarray(target))
+            for img, target in device_prefetch(self.train_dl, place):
                 self.state, m = self._train_step(self.state, img, target,
                                                  self.rng())
                 if self.global_step and not self.global_step % self.save_every:
@@ -95,9 +100,11 @@ class VitTrainer(BaseTrainer):
                          "lr": float(self.schedule(self.global_step))},
                         self.global_step,
                     )
+                self.tick(sync_on=m)
                 self.global_step += 1
                 if self.check_preemption(self.state):
                     return
+        self.stop_profiler()
         log.info("Train finished!")
 
     def evaluate(self):

@@ -187,12 +187,15 @@ class VQGANTrainer(BaseTrainer):
         self._recon = recon
 
     def train(self):
+        from attention_models_tpu.data.loaders import device_prefetch
+
+        def place(batch):
+            img = batch[0] if isinstance(batch, (tuple, list)) else batch
+            return self.shard_batch(img)
+
         start_epoch = self.global_step // max(len(self.train_dl), 1)
         for _epoch in range(start_epoch, self.num_epoch):
-            for batch in self.train_dl:
-                img = batch[0] if isinstance(batch, (tuple, list)) else batch
-                img = self.shard_batch(img)
-
+            for img in device_prefetch(self.train_dl, place):
                 self.state, d_metrics = self._d_step(self.state, img,
                                                      self.rng())
                 self.state, g_metrics = self._g_step(self.state, img)
@@ -211,9 +214,11 @@ class VQGANTrainer(BaseTrainer):
                         }},
                         self.global_step,
                     )
+                self.tick(sync_on=g_metrics)
                 self.global_step += 1
                 if self.check_preemption(self.state):
                     return
+        self.stop_profiler()
         log.info("Train finished!")
 
     def evaluate(self):

@@ -106,6 +106,136 @@ void preprocess_batch(const uint8_t** srcs, const int* hs, const int* ws,
   for (auto& th : pool) th.join();
 }
 
-int native_abi_version() { return 1; }
+int native_abi_version() { return 2; }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// JPEG decode (libjpeg), fused with the preprocess above so raw file bytes go
+// straight to normalized (3, crop, crop) float tensors — no PIL on the host
+// hot path. Compiled in only when libjpeg is available (-DHAVE_LIBJPEG).
+// ---------------------------------------------------------------------------
+#ifdef HAVE_LIBJPEG
+#include <csetjmp>
+#include <cstdio>
+#include <jpeglib.h>
+
+namespace {
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  std::jmp_buf jump;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  std::longjmp(err->jump, 1);
+}
+
+// Decode one JPEG into an RGB u8 HWC buffer. Returns false on corrupt input.
+bool decode_jpeg_rgb(const uint8_t* data, size_t len,
+                     std::vector<uint8_t>* out, int* h, int* w) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *h = cinfo.output_height;
+  *w = cinfo.output_width;
+  out->resize(static_cast<size_t>(*h) * *w * 3);
+  const size_t row_stride = static_cast<size_t>(*w) * 3;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out->data() + cinfo.output_scanline * row_stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+}  // namespace
+#endif  // HAVE_LIBJPEG
+
+extern "C" {
+
+int native_has_jpeg() {
+#ifdef HAVE_LIBJPEG
+  return 1;
+#else
+  return 0;
+#endif
+}
+
+// jpegs[i]: raw JPEG file bytes of length lens[i].
+// crop fracs in [0,1] pick the crop origin uniformly over the valid range;
+// a NEGATIVE frac means center crop ((avail)/2 — the torchvision formula).
+// out: (n, 3, crop, crop) float32; ok[i]=0 marks undecodable inputs (their
+// out slice is zeroed; the caller re-decodes those via its fallback).
+void decode_preprocess_batch(const uint8_t** jpegs, const uint64_t* lens,
+                             int n, int resize_to, int crop_size,
+                             const float* top_fracs, const float* left_fracs,
+                             const uint8_t* flips, float* out, uint8_t* ok,
+                             int num_threads) {
+  const size_t out_stride = 3ul * crop_size * crop_size;
+#ifdef HAVE_LIBJPEG
+  num_threads = std::max(1, std::min(num_threads, n));
+  std::vector<std::thread> pool;
+  auto worker = [&](int tid) {
+    std::vector<uint8_t> rgb;
+    for (int i = tid; i < n; i += num_threads) {
+      int h = 0, w = 0;
+      if (!decode_jpeg_rgb(jpegs[i], lens[i], &rgb, &h, &w)) {
+        std::memset(out + i * out_stride, 0, out_stride * sizeof(float));
+        ok[i] = 0;
+        continue;
+      }
+      // crop offsets from fractions, on the RESIZED dims (shorter side ->
+      // resize_to), matching NativeBatchTransform's Python-side math
+      int rh, rw;
+      if (w <= h) {
+        rw = resize_to;
+        rh = std::max(1, static_cast<int>(
+            static_cast<float>(h) * resize_to / w + 0.5f));
+      } else {
+        rh = resize_to;
+        rw = std::max(1, static_cast<int>(
+            static_cast<float>(w) * resize_to / h + 0.5f));
+      }
+      int avail_t = std::max(rh - crop_size, 0);
+      int avail_l = std::max(rw - crop_size, 0);
+      int top = top_fracs[i] < 0
+          ? avail_t / 2
+          : std::min(static_cast<int>(top_fracs[i] * (avail_t + 1)), avail_t);
+      int left = left_fracs[i] < 0
+          ? avail_l / 2
+          : std::min(static_cast<int>(left_fracs[i] * (avail_l + 1)), avail_l);
+      process_one(rgb.data(), h, w, resize_to, crop_size, top, left,
+                  flips[i] != 0, out + i * out_stride);
+      ok[i] = 1;
+    }
+  };
+  for (int t = 1; t < num_threads; ++t) pool.emplace_back(worker, t);
+  worker(0);
+  for (auto& th : pool) th.join();
+#else
+  (void)jpegs; (void)lens; (void)resize_to; (void)crop_size;
+  (void)top_fracs; (void)left_fracs; (void)flips; (void)num_threads;
+  for (int i = 0; i < n; ++i) {
+    std::memset(out + i * out_stride, 0, out_stride * sizeof(float));
+    ok[i] = 0;
+  }
+#endif
+}
 
 }  // extern "C"

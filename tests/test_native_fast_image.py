@@ -58,3 +58,109 @@ def test_native_batch_threading_deterministic():
     a = preprocess_batch(imgs, 64, 64, tops, lefts, flips, num_threads=1)
     b = preprocess_batch(imgs, 64, 64, tops, lefts, flips, num_threads=4)
     np.testing.assert_array_equal(a, b)
+
+
+def _jpeg_bytes(img: np.ndarray, quality=95) -> bytes:
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def test_native_jpeg_decode_matches_pil():
+    from attention_models_tpu.native import decode_preprocess_batch, has_jpeg
+
+    if not has_jpeg():
+        pytest.skip("native lib built without libjpeg")
+    rs = np.random.RandomState(2)
+    imgs = [
+        (rs.rand(96, 128, 3) * 255).astype(np.uint8),
+        (rs.rand(150, 90, 3) * 255).astype(np.uint8),
+    ]
+    datas = [_jpeg_bytes(im) for im in imgs]
+    n = len(datas)
+    res = decode_preprocess_batch(
+        datas, resize_to=64, crop_size=48,
+        top_fracs=np.full(n, -1.0, np.float32),   # center crop
+        left_fracs=np.full(n, -1.0, np.float32),
+        flips=np.zeros(n, np.uint8),
+    )
+    assert res is not None
+    out, ok = res
+    assert ok.all() and out.shape == (n, 3, 48, 48)
+    # reference: PIL-decode the same JPEG, then the native array pipeline
+    # with the center-crop offsets computed Python-side
+    import io
+
+    from PIL import Image
+
+    for i, data in enumerate(datas):
+        dec = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), np.uint8)
+        h, w = dec.shape[:2]
+        if w <= h:
+            rw, rh = 64, max(1, round(h * 64 / w))
+        else:
+            rh, rw = 64, max(1, round(w * 64 / h))
+        top = np.int32([max((rh - 48) // 2, 0)])
+        left = np.int32([max((rw - 48) // 2, 0)])
+        ref = preprocess_batch([dec], 64, 48, top, left,
+                               np.zeros(1, np.uint8))[0]
+        # libjpeg vs PIL decode may differ by a couple of IDCT rounding ulps
+        assert np.abs(out[i] - ref).max() <= (3.0 / 255 + 1e-6), i
+
+
+def test_native_jpeg_corrupt_marks_not_ok():
+    from attention_models_tpu.native import decode_preprocess_batch, has_jpeg
+
+    if not has_jpeg():
+        pytest.skip("native lib built without libjpeg")
+    good = _jpeg_bytes((np.random.RandomState(3).rand(64, 64, 3) * 255)
+                       .astype(np.uint8))
+    res = decode_preprocess_batch(
+        [b"not a jpeg", good], 64, 48,
+        np.full(2, -1.0, np.float32), np.full(2, -1.0, np.float32),
+        np.zeros(2, np.uint8),
+    )
+    assert res is not None
+    out, ok = res
+    assert ok[0] == 0 and ok[1] == 1
+    assert np.all(out[0] == 0)
+
+
+def test_batch_transform_accepts_bytes(tmp_path):
+    """NativeBatchTransform handles mixed bytes/array batches, with corrupt
+    bytes falling back to PIL."""
+    from attention_models_tpu.data.transforms import NativeBatchTransform
+    from attention_models_tpu.native import has_jpeg
+    from attention_models_tpu.utils.config import Config
+
+    if not has_jpeg():
+        pytest.skip("native lib built without libjpeg")
+    cfg = Config(
+        {
+            "dataset": {
+                "preprocessing": {"resolution": 48, "scale": 0.75,
+                                  "random_crop": False, "random_flip": False},
+            }
+        }
+    )
+    bt = NativeBatchTransform(cfg, is_train=False)
+    rs = np.random.RandomState(4)
+    arr = (rs.rand(96, 128, 3) * 255).astype(np.uint8)
+    data = _jpeg_bytes(arr)
+    # compare against the PIL-decoded JPEG through the array path (JPEG is
+    # lossy, so the raw array is not the reference — its decode is)
+    import io
+
+    from PIL import Image
+
+    dec = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), np.uint8)
+    out = bt([data, dec])
+    assert out.shape == (2, 3, 48, 48)
+    assert np.abs(out[0] - out[1]).max() <= (3.0 / 255 + 1e-6)
+    # corrupt bytes take the PIL fallback and must raise cleanly inside it
+    out2 = bt([data, dec, arr])
+    assert out2.shape == (3, 3, 48, 48)

@@ -34,3 +34,20 @@ def test_tar_dataset_roundtrip(tmp_path):
     assert img.shape == (40, 40, 3)
     assert img[0, 0, 0] == 40
     assert cap == "caption 1"
+
+
+def test_device_prefetch_preserves_order_and_errors():
+    from attention_models_tpu.data.loaders import device_prefetch
+
+    items = list(range(10))
+    out = list(device_prefetch(iter(items), lambda x: x * 2))
+    assert out == [x * 2 for x in items]
+
+    def bad(x):
+        if x == 3:
+            raise ValueError("boom")
+        return x
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="boom"):
+        list(device_prefetch(iter(items), bad))
