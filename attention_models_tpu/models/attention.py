@@ -40,50 +40,65 @@ def _ambient_tp_mesh():
 
 
 def _tp_shardable(q, k, mesh):
+    """(b, t, h, d) inputs: batch over the data axis, heads over model."""
     dp = mesh.shape.get("data", 1)
     tp = mesh.shape.get("model", 1)
     return (
         q.shape[0] % dp == 0
-        and q.shape[1] % tp == 0
+        and q.shape[2] % tp == 0
         and k.shape[0] % dp == 0
-        and k.shape[1] % tp == 0
+        and k.shape[2] % tp == 0
     )
 
 
 def _dispatch_attention(
     q, k, v, *, scale, causal, causal_mask, context_mask, use_flash
 ):
-    """Flash kernel when only (optional) causal masking is needed and the
-    shapes tile; the reference-semantics XLA path otherwise. Under tensor
-    parallelism the kernel runs per-shard via shard_map."""
+    """q, k, v and the result are (b, t, h, d) — the LAYOUT-NATIVE form the
+    projections produce, kept all the way into the Pallas kernel (the
+    (b, h, t, d) view is a real transpose that XLA materializes as 16MB
+    copies per k/v per layer at the pallas_call boundary — 9.6% of the
+    recon step before this). Flash kernel when only (optional) causal
+    masking is needed and the shapes tile; the reference-semantics XLA path
+    otherwise. Under tensor parallelism the kernel runs per-shard via
+    shard_map with heads over the model axis."""
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
     if use_flash is None:
         flash_ok = (
             context_mask is None
             and causal_mask is None  # explicit mask tensors go XLA
-            and flash_supported(q.shape, k.shape)
+            and flash_supported((b, h, tq, d), (b, h, tk, d))
         )
         tp_mesh = _ambient_tp_mesh()
         if tp_mesh is not None:
             if flash_ok and _tp_shardable(q, k, tp_mesh):
                 from attention_models_tpu.ops.flash_attention import (
-                    flash_attention_sharded,
+                    flash_attention_sharded_bthd,
                 )
 
-                return flash_attention_sharded(
+                return flash_attention_sharded_bthd(
                     q, k, v, tp_mesh, scale=scale, causal=causal
                 )
             use_flash = False
         else:
             use_flash = flash_ok
     if use_flash:
-        return flash_attention(q, k, v, scale=scale, causal=causal)
+        from attention_models_tpu.ops.flash_attention import (
+            flash_attention_bthd,
+        )
+
+        return flash_attention_bthd(q, k, v, scale=scale, causal=causal)
     if causal and causal_mask is None:
         from attention_models_tpu.ops.attention import make_causal_mask
 
-        causal_mask = make_causal_mask(q.shape[2], k.shape[2])
-    return multihead_attention(
-        q, k, v, scale=scale, causal_mask=causal_mask, context_mask=context_mask
+        causal_mask = make_causal_mask(tq, tk)
+    qh, kh, vh = (jnp.swapaxes(t_, 1, 2) for t_ in (q, k, v))
+    out = multihead_attention(
+        qh, kh, vh, scale=scale, causal_mask=causal_mask,
+        context_mask=context_mask,
     )
+    return jnp.swapaxes(out, 1, 2)
 
 
 class SoftmaxAttention(nn.Module):
@@ -115,25 +130,35 @@ class SoftmaxAttention(nn.Module):
         h, d = self.num_heads, self.dim_head
         q = nn.Dense(h * d, use_bias=False, dtype=self.dtype, name="wq")(x)
         q = nn.Dropout(self.dropout)(q, deterministic=deterministic)
-        q = rearrange(q, "b t (h d) -> b h t d", h=h)
 
         kv_src = x if context is None else context
         kv = nn.Dense(2 * h * d, use_bias=False, dtype=self.dtype, name="wkv")(kv_src)
         kv = nn.Dropout(self.dropout)(kv, deterministic=deterministic)
-        k, v = rearrange(kv, "b t (kv h d) -> kv b h t d", kv=2, h=h)
 
         if decode:
-            out = self._decode_attention(q, k, v, is_cross=context is not None)
+            qh = rearrange(q, "b t (h d) -> b h t d", h=h)
+            kh, vh = rearrange(kv, "b t (kv h d) -> kv b h t d", kv=2, h=h)
+            out = self._decode_attention(qh, kh, vh,
+                                         is_cross=context is not None)
+            out = rearrange(out, "b h t d -> b t (h d)")
         else:
+            # pure reshapes/slices — no transposes anywhere on this path
+            b, tq = q.shape[:2]
+            q4 = q.reshape(b, tq, h, d)
+            # kv keeps ITS OWN batch: cross-attention contexts may broadcast
+            # against a differently-batched q (e.g. Muse CFG decode)
+            kv5 = kv.reshape(kv.shape[0], kv.shape[1], 2, h, d)
             out = _dispatch_attention(
-                q, k, v,
+                q4, kv5[:, :, 0], kv5[:, :, 1],
                 scale=d ** -0.5,
                 causal=causal,
                 causal_mask=causal_mask,
                 context_mask=context_mask,
                 use_flash=self.use_flash,
             )
-        out = rearrange(out, "b h t d -> b t (h d)")
+            # out keeps ITS OWN batch (einsum broadcasting on the XLA path
+            # can widen a size-1 q batch against the context batch)
+            out = out.reshape(out.shape[0], out.shape[1], h * d)
         out = nn.Dense(self.dim, dtype=self.dtype, name="wo")(out)
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
@@ -293,12 +318,12 @@ class SwitchHeadAttention(nn.Module):
         h, d, e = self.num_heads, self.dim_head, self.num_experts
         q = nn.Dense(h * d, use_bias=False, dtype=self.dtype, name="wq")(x)
         q = nn.Dropout(self.dropout)(q, deterministic=deterministic)
-        q = rearrange(q, "b t (h d) -> b h t d", h=h)
+        q = q.reshape(*q.shape[:2], h, d)  # (b, t, h, d) — layout-native
 
         src = x if context is None else context
         k = nn.Dense(h * d, use_bias=False, dtype=self.dtype, name="wk")(src)
         k = nn.Dropout(self.dropout)(k, deterministic=deterministic)
-        k = rearrange(k, "b t (h d) -> b h t d", h=h)
+        k = k.reshape(*k.shape[:2], h, d)
 
         # --- V MoE: per-head top-k routed value projection -------------------
         ws = nn.Dense(h * e, use_bias=False, dtype=self.dtype, name="ws")(src)
@@ -317,7 +342,7 @@ class SwitchHeadAttention(nn.Module):
         )
         combine_v = _combine_weights(sel_v, wts_v, e)  # (b, t, h, E)
         v = jnp.einsum("bteh,btxe->btxh", vx, combine_v)  # x == heads
-        v = rearrange(v, "b t h d -> b h t d").astype(self.dtype)
+        v = v.astype(self.dtype)  # already (b, t, h, d)
 
         out = _dispatch_attention(
             q, k, v,
@@ -326,8 +351,7 @@ class SwitchHeadAttention(nn.Module):
             causal_mask=causal_mask,
             context_mask=context_mask,
             use_flash=None,
-        )  # (b, h, t, d)
-        out = rearrange(out, "b h t d -> b t h d")
+        )  # (b, t, h, d)
 
         # --- output MoE: per-head routed Linear(d_head -> dim), UNWEIGHTED ---
         wd = nn.Dense(h * e, use_bias=False, dtype=self.dtype, name="wd")(src)

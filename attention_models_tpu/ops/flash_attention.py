@@ -30,6 +30,29 @@ LOG2E = 1.4426950408889634  # 1/ln(2)
 LN2 = 0.6931471805599453
 
 
+def _q_view(ref):
+    """(1, L, d) or (1, L, 1, d) block ref -> (L, d) value. The 4-D form is
+    the (b, t, h, d) layout-native path: blocks slice one head strided out of
+    the projection's natural output, so XLA inserts no transpose copies at
+    the kernel boundary."""
+    return ref[0] if ref.ndim == 3 else ref[0, :, 0, :]
+
+
+def _seq_slice(ref, start, size):
+    """(size, d) slice along the sequence dim of a (1, L, d)/(1, L, 1, d)
+    block ref ((bq, 1) for the lse/delta refs whose trailing dim is 1)."""
+    if ref.ndim == 3:
+        return ref[0, pl.ds(start, size), :]
+    return ref[0, pl.ds(start, size), 0, :]
+
+
+def _store(ref, val):
+    if ref.ndim == 3:
+        ref[0] = val
+    else:
+        ref[0, :, 0, :] = val
+
+
 def _dot_precision(dtype):
     """In-kernel dot precision: bf16 operands take the MXU fast path; fp32
     operands get exact fp32 passes (the golden bit-match path runs the
@@ -55,7 +78,7 @@ def _flash_kernel(
     tk: int,
 ):
     block_q = q_ref.shape[1]
-    d = q_ref.shape[2]
+    d = q_ref.shape[-1]
     q_idx = pl.program_id(1)
 
     # Dots run on the INPUT dtype with fp32 accumulation — the MXU's native
@@ -71,11 +94,11 @@ def _flash_kernel(
     # score-domain formulation (the golden bit-match path).
     fast = q_ref.dtype != jnp.float32
     if fast:
-        q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(
+        q = (_q_view(q_ref).astype(jnp.float32) * (scale * LOG2E)).astype(
             q_ref.dtype
         )  # (bq, d) — 16-64x fewer elements than the (bq, bk) scores
     else:
-        q = q_ref[0]  # (bq, d)
+        q = _q_view(q_ref)  # (bq, d)
 
     num_k_blocks = pl.cdiv(tk, block_k)
     if causal:
@@ -83,17 +106,38 @@ def _flash_kernel(
         max_col = (q_idx + 1) * block_q + (tk - tq)
         num_k_blocks = (jnp.minimum(max_col, tk) + block_k - 1) // block_k
 
+    acc, m, l = _fwd_core(
+        q, lambda kb: (_seq_slice(k_ref, kb * block_k, block_k),
+                       _seq_slice(v_ref, kb * block_k, block_k)),
+        num_k_blocks, fast=fast, causal=causal, scale=scale,
+        block_q=block_q, block_k=block_k, q_idx=q_idx, tq=tq, tk=tk, d=d,
+        dtype=q_ref.dtype,
+    )
+    _store(o_ref, (acc / l).astype(o_ref.dtype))
+    # the saved logsumexp is ALWAYS natural-log (the backward contract)
+    if fast:
+        _store(lse_ref, (m + jnp.log2(l)) * LN2)  # (bq, 1)
+    else:
+        _store(lse_ref, m + jnp.log(l))  # (bq, 1)
+
+
+def _fwd_core(
+    q, load_kv, num_k_blocks, *, fast, causal, scale, block_q, block_k,
+    q_idx, tq, tk, d, dtype,
+):
+    """Online-softmax loop over k/v blocks for ONE head's (bq, d) q block.
+    Shared by the per-(b·h) kernels and the all-heads-per-program
+    layout-native kernels."""
     exp_fn = jnp.exp2 if fast else jnp.exp
 
     def body(kb, carry):
         acc, m_prev, l_prev = carry
-        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
-        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        k_blk, v_blk = load_kv(kb)
         s = jax.lax.dot_general(
             q, k_blk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_dot_precision(q_ref.dtype),
+            precision=_dot_precision(dtype),
         )  # (bq, bk) fp32 — log2-domain scores on the fast path
         if not fast:
             s = s * scale
@@ -115,7 +159,7 @@ def _flash_kernel(
             p.astype(v_blk.dtype), v_blk,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_dot_precision(q_ref.dtype),
+            precision=_dot_precision(dtype),
         )
         return acc, m_new, l_new
 
@@ -124,13 +168,57 @@ def _flash_kernel(
         jnp.full((block_q, 1), NEG_INF, jnp.float32),
         jnp.zeros((block_q, 1), jnp.float32),
     )
-    acc, m, l = jax.lax.fori_loop(0, num_k_blocks, body, init)
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
-    # the saved logsumexp is ALWAYS natural-log (the backward contract)
-    if fast:
-        lse_ref[0] = (m + jnp.log2(l)) * LN2  # (bq, 1)
-    else:
-        lse_ref[0] = m + jnp.log(l)  # (bq, 1)
+    return jax.lax.fori_loop(0, num_k_blocks, body, init)
+
+
+def _flash_kernel_mh(
+    q_ref,  # (1, block_q, h*d)
+    k_ref,  # (1, tk, h*d)
+    v_ref,  # (1, tk, h*d)
+    o_ref,  # (1, block_q, h*d)
+    lse_ref,  # (1, block_q, h)
+    *,
+    h: int,
+    scale: float,
+    causal: bool,
+    block_k: int,
+    tq: int,
+    tk: int,
+):
+    """All-heads-per-program forward on the LAYOUT-NATIVE (b, t, h·d) form —
+    exactly the projections' memory layout, so no transpose copies exist
+    anywhere. TPU tiling runs over the trailing (seq, h·d) dims; a static
+    Python loop peels heads as aligned LANE slices (d-wide) in VMEM."""
+    block_q = q_ref.shape[1]
+    d = q_ref.shape[2] // h
+    q_idx = pl.program_id(1)
+    fast = q_ref.dtype != jnp.float32
+
+    num_k_blocks = pl.cdiv(tk, block_k)
+    if causal:
+        max_col = (q_idx + 1) * block_q + (tk - tq)
+        num_k_blocks = (jnp.minimum(max_col, tk) + block_k - 1) // block_k
+
+    for hi in range(h):
+        sl = slice(hi * d, (hi + 1) * d)
+        q = q_ref[0, :, sl]
+        if fast:
+            q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
+        acc, m, l = _fwd_core(
+            q,
+            lambda kb, sl=sl: (
+                k_ref[0, pl.ds(kb * block_k, block_k), sl],
+                v_ref[0, pl.ds(kb * block_k, block_k), sl],
+            ),
+            num_k_blocks, fast=fast, causal=causal, scale=scale,
+            block_q=block_q, block_k=block_k, q_idx=q_idx, tq=tq, tk=tk,
+            d=d, dtype=q_ref.dtype,
+        )
+        o_ref[0, :, sl] = (acc / l).astype(o_ref.dtype)
+        if fast:
+            lse_ref[0, :, hi:hi + 1] = (m + jnp.log2(l)) * LN2
+        else:
+            lse_ref[0, :, hi:hi + 1] = m + jnp.log(l)
 
 
 def _pick_block(t: int, pref: int) -> int:
@@ -215,10 +303,10 @@ def _flash_bwd_dkv_kernel(
     FlashAttention-2 backward: P is recomputed from (q, k, lse) blockwise,
     dV += P^T dO, dS = P∘(dO V^T − Δ), dK += dS^T (q·scale)."""
     block_k = k_ref.shape[1]
-    d = k_ref.shape[2]
+    d = k_ref.shape[-1]
     k_idx = pl.program_id(1)
-    kT = jnp.transpose(k_ref[0])  # (d, bk), native dtype for MXU dots
-    v_blk = v_ref[0]  # (bk, d)
+    kT = jnp.transpose(_q_view(k_ref))  # (d, bk), native dtype for MXU dots
+    v_blk = _q_view(v_ref)  # (bk, d)
     # bf16 fast path: exp2-domain recompute of P (see _flash_kernel); the
     # score multiply constant absorbs log2e and lse (natural log, per the
     # residual contract) converts on the cheap (bq, 1) side.
@@ -234,18 +322,36 @@ def _flash_bwd_dkv_kernel(
         first_row = k_idx * block_k - (tk - tq)
         q_start = jnp.maximum(first_row, 0) // block_q
 
+    dk, dv = _bwd_dkv_core(
+        kT, v_blk,
+        lambda qb: (_seq_slice(q_ref, qb * block_q, block_q),
+                    _seq_slice(do_ref, qb * block_q, block_q),
+                    _seq_slice(lse_ref, qb * block_q, block_q),
+                    _seq_slice(delta_ref, qb * block_q, block_q)),
+        q_start, num_q_blocks,
+        fast=fast, causal=causal, scale=scale, s_scale=s_scale,
+        block_q=block_q, block_k=block_k, k_idx=k_idx, tq=tq, tk=tk, d=d,
+        dtype=q_ref.dtype,
+    )
+    _store(dk_ref, dk.astype(dk_ref.dtype))
+    _store(dv_ref, dv.astype(dv_ref.dtype))
+
+
+def _bwd_dkv_core(
+    kT, v_blk, load_q, q_start, num_q_blocks, *,
+    fast, causal, scale, s_scale, block_q, block_k, k_idx, tq, tk, d, dtype,
+):
+    exp_fn = jnp.exp2 if fast else jnp.exp
+
     def body(qb, carry):
         dk_acc, dv_acc = carry
-        q_blk = q_ref[0, pl.ds(qb * block_q, block_q), :]
-        do_blk = do_ref[0, pl.ds(qb * block_q, block_q), :]
-        lse_blk = lse_ref[0, pl.ds(qb * block_q, block_q), :]  # (bq, 1)
-        delta_blk = delta_ref[0, pl.ds(qb * block_q, block_q), :]  # (bq, 1)
+        q_blk, do_blk, lse_blk, delta_blk = load_q(qb)
 
         s = jax.lax.dot_general(
             q_blk, kT,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_dot_precision(q_ref.dtype),
+            precision=_dot_precision(dtype),
         ) * s_scale  # (bq, bk) fp32
         p = exp_fn(s - (lse_blk * LOG2E if fast else lse_blk))
         if causal:
@@ -262,14 +368,14 @@ def _flash_bwd_dkv_kernel(
             p.astype(do_blk.dtype), do_blk,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_dot_precision(q_ref.dtype),
+            precision=_dot_precision(dtype),
         )
         # dP = dO V^T ; dS = P * (dP - delta)
         dp = jax.lax.dot_general(
             do_blk, v_blk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_dot_precision(q_ref.dtype),
+            precision=_dot_precision(dtype),
         )
         ds = p * (dp - delta_blk)
         # dK += scale * dS^T q
@@ -277,7 +383,7 @@ def _flash_bwd_dkv_kernel(
             ds.astype(q_blk.dtype), q_blk,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_dot_precision(q_ref.dtype),
+            precision=_dot_precision(dtype),
         ) * scale
         return dk_acc, dv_acc
 
@@ -285,9 +391,58 @@ def _flash_bwd_dkv_kernel(
         jnp.zeros((block_k, d), jnp.float32),
         jnp.zeros((block_k, d), jnp.float32),
     )
-    dk, dv = jax.lax.fori_loop(q_start, num_q_blocks, body, init)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    return jax.lax.fori_loop(q_start, num_q_blocks, body, init)
+
+
+def _flash_bwd_dkv_kernel_mh(
+    q_ref,  # (1, tq, h*d)
+    do_ref,  # (1, tq, h*d)
+    lse_ref,  # (1, tq, h)
+    delta_ref,  # (1, tq, h)
+    k_ref,  # (1, block_k, h*d)
+    v_ref,  # (1, block_k, h*d)
+    dk_ref,  # (1, block_k, h*d)
+    dv_ref,  # (1, block_k, h*d)
+    *,
+    h: int,
+    scale: float,
+    causal: bool,
+    block_q: int,
+    tq: int,
+    tk: int,
+):
+    """Layout-native all-heads-per-program dk/dv (see _flash_kernel_mh)."""
+    block_k = k_ref.shape[1]
+    d = k_ref.shape[2] // h
+    k_idx = pl.program_id(1)
+    fast = q_ref.dtype != jnp.float32
+    s_scale = scale * LOG2E if fast else scale
+
+    num_q_blocks = pl.cdiv(tq, block_q)
+    q_start = 0
+    if causal:
+        first_row = k_idx * block_k - (tk - tq)
+        q_start = jnp.maximum(first_row, 0) // block_q
+
+    for hi in range(h):
+        sl = slice(hi * d, (hi + 1) * d)
+        kT = jnp.transpose(k_ref[0, :, sl])
+        v_blk = v_ref[0, :, sl]
+        dk, dv = _bwd_dkv_core(
+            kT, v_blk,
+            lambda qb, sl=sl, hi=hi: (
+                q_ref[0, pl.ds(qb * block_q, block_q), sl],
+                do_ref[0, pl.ds(qb * block_q, block_q), sl],
+                lse_ref[0, pl.ds(qb * block_q, block_q), hi:hi + 1],
+                delta_ref[0, pl.ds(qb * block_q, block_q), hi:hi + 1],
+            ),
+            q_start, num_q_blocks,
+            fast=fast, causal=causal, scale=scale, s_scale=s_scale,
+            block_q=block_q, block_k=block_k, k_idx=k_idx, tq=tq, tk=tk,
+            d=d, dtype=q_ref.dtype,
+        )
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
 
 
 def _flash_bwd_dq_kernel(
@@ -308,33 +463,50 @@ def _flash_bwd_dq_kernel(
     """One q block per program; stream k blocks and accumulate dq:
     dQ += dS K · scale with dS = P∘(dO V^T − Δ)."""
     block_q = q_ref.shape[1]
-    d = q_ref.shape[2]
+    d = q_ref.shape[-1]
     q_idx = pl.program_id(1)
 
-    q_blk = q_ref[0]  # native dtype for MXU dots; scale applied to scores
-    do_blk = do_ref[0]
-    lse_blk = lse_ref[0]  # (bq, 1)
-    delta_blk = delta_ref[0]  # (bq, 1)
-    # bf16 fast path: exp2-domain P recompute (see _flash_bwd_dkv_kernel)
+    q_blk = _q_view(q_ref)  # native dtype for MXU dots; scale on the scores
+    do_blk = _q_view(do_ref)
+    lse_blk = _q_view(lse_ref)  # (bq, 1)
+    delta_blk = _q_view(delta_ref)  # (bq, 1)
+    # bf16 fast path: exp2-domain P recompute (see _flash_bwd_dkv_kernel);
+    # the lse -> log2 conversion happens inside _bwd_dq_core.
     fast = q_ref.dtype != jnp.float32
     s_scale = scale * LOG2E if fast else scale
-    exp_fn = jnp.exp2 if fast else jnp.exp
-    if fast:
-        lse_blk = lse_blk * LOG2E
 
     num_k_blocks = pl.cdiv(tk, block_k)
     if causal:
         max_col = (q_idx + 1) * block_q + (tk - tq)
         num_k_blocks = (jnp.minimum(max_col, tk) + block_k - 1) // block_k
 
+    dq = _bwd_dq_core(
+        q_blk, do_blk, lse_blk, delta_blk,
+        lambda kb: (_seq_slice(k_ref, kb * block_k, block_k),
+                    _seq_slice(v_ref, kb * block_k, block_k)),
+        num_k_blocks,
+        fast=fast, s_scale=s_scale, causal=causal,
+        block_q=block_q, block_k=block_k, q_idx=q_idx, tq=tq, tk=tk, d=d,
+        dtype=q_ref.dtype,
+    )
+    _store(dq_ref, (dq * scale).astype(dq_ref.dtype))
+
+
+def _bwd_dq_core(
+    q_blk, do_blk, lse_blk, delta_blk, load_kv, num_k_blocks, *,
+    fast, s_scale, causal, block_q, block_k, q_idx, tq, tk, d, dtype,
+):
+    exp_fn = jnp.exp2 if fast else jnp.exp
+    if fast:
+        lse_blk = lse_blk * LOG2E
+
     def body(kb, dq_acc):
-        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
-        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        k_blk, v_blk = load_kv(kb)
         s = jax.lax.dot_general(
             q_blk, k_blk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_dot_precision(q_ref.dtype),
+            precision=_dot_precision(dtype),
         ) * s_scale  # (bq, bk) fp32
         p = exp_fn(s - lse_blk)
         if causal:
@@ -349,20 +521,64 @@ def _flash_bwd_dq_kernel(
             do_blk, v_blk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_dot_precision(q_ref.dtype),
+            precision=_dot_precision(dtype),
         )
         ds = p * (dp - delta_blk)
         return dq_acc + jax.lax.dot_general(
             ds.astype(k_blk.dtype), k_blk,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_dot_precision(q_ref.dtype),
+            precision=_dot_precision(dtype),
         )
 
-    dq = jax.lax.fori_loop(
+    return jax.lax.fori_loop(
         0, num_k_blocks, body, jnp.zeros((block_q, d), jnp.float32)
     )
-    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dq_kernel_mh(
+    k_ref,  # (1, tk, h*d)
+    v_ref,  # (1, tk, h*d)
+    q_ref,  # (1, block_q, h*d)
+    do_ref,  # (1, block_q, h*d)
+    lse_ref,  # (1, block_q, h)
+    delta_ref,  # (1, block_q, h)
+    dq_ref,  # (1, block_q, h*d)
+    *,
+    h: int,
+    scale: float,
+    causal: bool,
+    block_k: int,
+    tq: int,
+    tk: int,
+):
+    """Layout-native all-heads-per-program dq (see _flash_kernel_mh)."""
+    block_q = q_ref.shape[1]
+    d = q_ref.shape[2] // h
+    q_idx = pl.program_id(1)
+    fast = q_ref.dtype != jnp.float32
+    s_scale = scale * LOG2E if fast else scale
+
+    num_k_blocks = pl.cdiv(tk, block_k)
+    if causal:
+        max_col = (q_idx + 1) * block_q + (tk - tq)
+        num_k_blocks = (jnp.minimum(max_col, tk) + block_k - 1) // block_k
+
+    for hi in range(h):
+        sl = slice(hi * d, (hi + 1) * d)
+        dq = _bwd_dq_core(
+            q_ref[0, :, sl], do_ref[0, :, sl],
+            lse_ref[0, :, hi:hi + 1], delta_ref[0, :, hi:hi + 1],
+            lambda kb, sl=sl: (
+                k_ref[0, pl.ds(kb * block_k, block_k), sl],
+                v_ref[0, pl.ds(kb * block_k, block_k), sl],
+            ),
+            num_k_blocks,
+            fast=fast, s_scale=s_scale, causal=causal,
+            block_q=block_q, block_k=block_k, q_idx=q_idx, tq=tq, tk=tk,
+            d=d, dtype=q_ref.dtype,
+        )
+        dq_ref[0, :, sl] = (dq * scale).astype(dq_ref.dtype)
 
 
 def flash_bwd_dkv(
@@ -603,6 +819,265 @@ def flash_attention_sharded(
     fn = jax.shard_map(
         functools.partial(
             flash_attention, scale=scale, causal=causal,
+            block_q=block_q, block_k=block_k, interpret=interpret,
+        ),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(q, k, v)
+
+
+# --------------------------------------------------------------------------- #
+# Layout-native (b, t, h, d) entry points.
+#
+# The attention projections produce (b, t, h*d); reshaping that to the
+# (b, h, t, d) the classic wrappers take is a real transpose, and because
+# pallas_call pins default layouts XLA materializes it as 16MB copies per
+# k/v per layer (measured 9.6% of the ViTVQGAN recon step, plus matching
+# copies on the output side). These wrappers instead index one head per
+# program straight out of the (b, t, h, d) view with strided BlockSpecs —
+# no transpose exists anywhere in the program.
+# --------------------------------------------------------------------------- #
+
+
+def _flash_forward_bthd(
+    q, k, v, *, scale, causal, block_q, block_k, interpret=False,
+):
+    """q, k, v: (b, t, h, d). Returns (out (b,tq,h,d), lse (b,tq,h,1) f32).
+    Blocks span ALL heads (TPU tiling runs over the trailing (h, d) dims, so
+    per-head HBM blocks are illegal); the kernel peels heads in VMEM. The
+    per-head softmax transients bound VMEM, so block_q is capped to keep
+    bq*tk fp32 + whole-heads q/k/v blocks under the ~16MB budget."""
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    bq, bk = _mh_pick_blocks(tq, tk, h, d, block_q, block_k,
+                             q.dtype.itemsize)
+    qf = q.reshape(b, tq, h * d)  # pure relabel, no data movement
+    kf = k.reshape(b, tk, h * d)
+    vf = v.reshape(b, tk, h * d)
+    q_spec = pl.BlockSpec((1, bq, h * d), lambda i, j: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, tk, h * d), lambda i, j: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, bq, h), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _flash_kernel_mh, h=h, scale=scale, causal=causal, block_k=bk,
+        tq=tq, tk=tk,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(b, pl.cdiv(tq, bq)),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=[q_spec, lse_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, tq, h * d), q.dtype),
+            jax.ShapeDtypeStruct((b, tq, h), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * tq * tk * d,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * h * tq * tk,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, tq, h, d), lse
+
+
+def _mh_pick_blocks(tq, tk, h, d, pref_bq, pref_bk, itemsize=2):
+    """(bq, bk) for the all-heads-per-program kernels, sized so the scoped
+    VMEM stack fits: double-buffered q/o blocks and FULL k/v blocks (the
+    k-loop slices them in VMEM) plus the per-head fp32 softmax transients
+    must stay under the ~16MB limit (14MB budget for Mosaic's own slack)."""
+    hd = h * d
+    limit = 14 * 1024 * 1024
+    for bkp in (pref_bk, 512, 256, 128):
+        if bkp > pref_bk:
+            continue
+        bk = _pick_block(tk, bkp)
+        for bqp in (pref_bq, 512, 256, 128, 64, 32, 16, 8):
+            if bqp > pref_bq:
+                continue
+            bq = _pick_block(tq, bqp)
+            used = (
+                2 * bq * hd * itemsize          # q block, double-buffered
+                + 2 * 2 * tk * hd * itemsize    # full k+v, double-buffered
+                + 2 * (bq * hd * itemsize + bq * h * 4)  # o + lse out
+                + 2 * bq * bk * 4               # s + p fp32 transients
+                + bq * bk * itemsize            # p cast for the pv dot
+                + bq * d * 4                    # fp32 accumulator
+            )
+            if used <= limit:
+                return bq, bk
+    raise ValueError(
+        f"no VMEM-fitting blocks for mh flash at tq={tq} tk={tk} h={h} d={d}"
+    )
+
+
+def _flash_backward_bthd(
+    q, k, v, o, lse, g,
+    *, scale, causal, block_q, block_k, interpret=False,
+):
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    # whole-heads q/do/lse/delta stay resident in the dkv program, plus the
+    # per-head softmax transients: cap both blocks accordingly (the dkv
+    # program streams FULL q/do, so swap tq/tk roles in the budget)
+    bq, _ = _mh_pick_blocks(tq, tk, h, d, min(block_q, 256),
+                            min(block_k, 256), q.dtype.itemsize)
+    bk, _ = _mh_pick_blocks(tk, tq, h, d, min(block_k, 256),
+                            min(block_q, 256), q.dtype.itemsize)
+    delta = jnp.sum(
+        g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    )  # (b, tq, h)
+
+    qf = q.reshape(b, tq, h * d)
+    kf = k.reshape(b, tk, h * d)
+    vf = v.reshape(b, tk, h * d)
+    gf = g.reshape(b, tq, h * d)
+
+    q_full = pl.BlockSpec((1, tq, h * d), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    r_full = pl.BlockSpec((1, tq, h), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_blk = pl.BlockSpec((1, bk, h * d), lambda i, j: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+
+    dkv_kernel = functools.partial(
+        _flash_bwd_dkv_kernel_mh, h=h, scale=scale, causal=causal,
+        block_q=bq, tq=tq, tk=tk,
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(b, pl.cdiv(tk, bk)),
+        in_specs=[q_full, q_full, r_full, r_full, kv_blk, kv_blk],
+        out_specs=[kv_blk, kv_blk],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, tk, h * d), k.dtype),
+            jax.ShapeDtypeStruct((b, tk, h * d), v.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=5 * b * h * tq * tk * d,
+            bytes_accessed=2 * (q.size + k.size + v.size) * 4,
+            transcendentals=b * h * tq * tk,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qf, gf, lse, delta, kf, vf)
+
+    q_blk = pl.BlockSpec((1, bq, h * d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    r_blk = pl.BlockSpec((1, bq, h), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    kv_full = pl.BlockSpec((1, tk, h * d), lambda i, j: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dq_kernel = functools.partial(
+        _flash_bwd_dq_kernel_mh, h=h, scale=scale, causal=causal,
+        block_k=bk, tq=tq, tk=tk,
+    )
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(b, pl.cdiv(tq, bq)),
+        in_specs=[kv_full, kv_full, q_blk, q_blk, r_blk, r_blk],
+        out_specs=q_blk,
+        out_shape=jax.ShapeDtypeStruct((b, tq, h * d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * tq * tk * d,
+            bytes_accessed=2 * (q.size + k.size + v.size) * 4,
+            transcendentals=b * h * tq * tk,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(kf, vf, qf, gf, lse, delta)
+    return (
+        dq.reshape(b, tq, h, d),
+        dk.reshape(b, tk, h, d),
+        dv.reshape(b, tk, h, d),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _flash_bthd(causal, scale, block_q, block_k, interpret, q, k, v):
+    out, _ = _flash_forward_bthd(
+        q, k, v, scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+        interpret=interpret,
+    )
+    return out
+
+
+def _flash_bthd_fwd(causal, scale, block_q, block_k, interpret, q, k, v):
+    out, lse = _flash_forward_bthd(
+        q, k, v, scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+        interpret=interpret,
+    )
+    return out, (q, k, v, out, lse)
+
+
+def _flash_bthd_bwd(causal, scale, block_q, block_k, interpret, res, g):
+    """Backward via the classic per-(b·h) kernels: transpose the residuals
+    to (b, h, t, d), run _flash_backward, transpose the grads back. The
+    all-heads-per-program backward kernels measured ~3x slower in-model
+    (few programs, small dots), while these transposes are plain
+    bandwidth — the classic kernels win decisively."""
+    q, k, v, o, lse = res
+    qh, kh, vh, oh, gh = (jnp.swapaxes(x, 1, 2) for x in (q, k, v, o, g))
+    dq, dk, dv = _flash_backward(
+        qh, kh, vh, oh, jnp.swapaxes(lse, 1, 2), gh,
+        scale=scale, causal=causal, block_q=max(block_q, 512),
+        block_k=max(block_k, 512), interpret=interpret,
+    )
+    return (
+        jnp.swapaxes(dq, 1, 2),
+        jnp.swapaxes(dk, 1, 2),
+        jnp.swapaxes(dv, 1, 2),
+    )
+
+
+_flash_bthd.defvjp(_flash_bthd_fwd, _flash_bthd_bwd)
+
+
+def flash_attention_bthd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float | None = None,
+    causal: bool = False,
+    block_q: int = 512,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention over (b, t, h, d) tensors — the projections' natural
+    layout, so no transpose copies at the kernel boundary. Differentiable."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    return _flash_bthd(causal, scale, block_q, block_k, interpret, q, k, v)
+
+
+def flash_attention_sharded_bthd(
+    q, k, v, mesh, *,
+    scale=None, causal=False, data_axis="data", model_axis="model",
+    block_q: int = 512, block_k: int = 1024, interpret: bool = False,
+):
+    """(b, t, h, d) tensor-parallel variant: batch over data, HEADS (dim 2)
+    over model; the kernel runs on each shard's local heads."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(data_axis, None, model_axis, None)
+    fn = jax.shard_map(
+        functools.partial(
+            flash_attention_bthd, scale=scale, causal=causal,
             block_q=block_q, block_k=block_k, interpret=interpret,
         ),
         mesh=mesh,

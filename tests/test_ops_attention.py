@@ -213,3 +213,48 @@ def test_flash_bf16_fast_path_matches_fp32_reference():
     for a, b in zip(gf, gr):
         e = np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32)).max()
         assert e < 0.06 * max(np.abs(np.asarray(b)).max(), 1.0), e
+
+
+def test_flash_bthd_matches_bhtd():
+    """The layout-native (b, t, h, d) entry point must agree with the classic
+    (b, h, t, d) kernel and the XLA reference, values and gradients."""
+    import jax
+
+    from attention_models_tpu.ops.flash_attention import flash_attention_bthd
+
+    rs = np.random.RandomState(11)
+    b, h, t, d = 2, 4, 128, 32
+    q4 = jnp.array(rs.randn(b, t, h, d), jnp.float32)
+    k4 = jnp.array(rs.randn(b, t, h, d), jnp.float32)
+    v4 = jnp.array(rs.randn(b, t, h, d), jnp.float32)
+    scale = d ** -0.5
+    ref = multihead_attention(
+        jnp.swapaxes(q4, 1, 2), jnp.swapaxes(k4, 1, 2),
+        jnp.swapaxes(v4, 1, 2), scale=scale,
+    )
+    got = flash_attention_bthd(q4, k4, v4, scale=scale, block_q=64,
+                               block_k=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(got, 1, 2)),
+                               np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+    # causal + gradients
+    cm = make_causal_mask(t, t)
+    w = jnp.array(rs.randn(b, t, h, d), jnp.float32)
+
+    def loss_bthd(q, k, v):
+        o = flash_attention_bthd(q, k, v, scale=scale, causal=True,
+                                 block_q=64, block_k=64, interpret=True)
+        return jnp.sum(o * w)
+
+    def loss_ref(q, k, v):
+        o = multihead_attention(
+            jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+            jnp.swapaxes(v, 1, 2), scale=scale, causal_mask=cm,
+        )
+        return jnp.sum(jnp.swapaxes(o, 1, 2) * w)
+
+    gb = jax.grad(loss_bthd, argnums=(0, 1, 2))(q4, k4, v4)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q4, k4, v4)
+    for a, bb in zip(gb, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=1e-3, rtol=1e-3)
