@@ -18,7 +18,23 @@ from attention_models_tpu.ops.flash_attention import flash_attention, flash_supp
 from attention_models_tpu.ops.moe import _combine_weights, moe_linear_scatter, topk_gate
 
 
-from attention_models_tpu.parallel.mesh import MODEL_AXIS
+from attention_models_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS
+
+
+def _ambient_sp_mesh():
+    """The ambient mesh iff its ``seq`` axis is sharded (sequence/context
+    parallelism): attention then runs the ring kernel with the token dim
+    partitioned over the ring, and GSPMD keeps the surrounding pointwise ops
+    (LN, FFN) sharded over the same axis."""
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+    except Exception:
+        return None
+    if mesh is None or mesh.empty:
+        return None
+    if mesh.shape.get(SEQ_AXIS, 1) <= 1:
+        return None
+    return mesh
 
 
 def _ambient_tp_mesh():
@@ -65,6 +81,31 @@ def _dispatch_attention(
     b, tq, h, d = q.shape
     tk = k.shape[1]
     if use_flash is None:
+        sp_mesh = _ambient_sp_mesh()
+        if sp_mesh is not None:
+            sp = sp_mesh.shape[SEQ_AXIS]
+            ring_ok = (
+                context_mask is None and causal_mask is None
+                and tq % sp == 0 and tk % sp == 0
+                and flash_supported((b, h, tq // sp, d), (b, h, tk // sp, d))
+            )
+            if ring_ok:
+                from attention_models_tpu.ops.ring_attention import (
+                    ring_flash_attention,
+                )
+
+                dp = sp_mesh.shape.get(DATA_AXIS, 1)
+                tp = sp_mesh.shape.get(MODEL_AXIS, 1)
+                qh, kh, vh = (jnp.swapaxes(x_, 1, 2) for x_ in (q, k, v))
+                out = ring_flash_attention(
+                    qh, kh, vh, sp_mesh,
+                    seq_axis=SEQ_AXIS,
+                    batch_axis=DATA_AXIS if b % dp == 0 else None,
+                    head_axis=MODEL_AXIS if (tp > 1 and h % tp == 0) else None,
+                    causal=causal, scale=scale,
+                )
+                return jnp.swapaxes(out, 1, 2)
+            # fall through to the (possibly GSPMD-sharded) XLA path
         flash_ok = (
             context_mask is None
             and causal_mask is None  # explicit mask tensors go XLA

@@ -16,6 +16,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SEQ_AXIS = "seq"
 MODEL_AXIS = "model"
 
 
@@ -32,23 +33,35 @@ def runtime_init() -> None:
 def create_mesh(
     data: int = -1,
     model: int = 1,
+    seq: int = 1,
     devices=None,
 ) -> Mesh:
-    """Create a 2-D ``(data, model)`` mesh. ``data=-1`` means "all remaining
-    devices". A mesh is always 2-D so train steps can be written once and run
+    """Create a ``(data, model)`` mesh — or ``(data, seq, model)`` when
+    ``seq > 1`` (sequence/context parallelism: the token dim of activations
+    shards over ``seq`` and attention runs the ring kernel,
+    ops/ring_attention.py). ``data=-1`` means "all remaining devices". The
+    mesh is always at least 2-D so train steps can be written once and run
     at any dp×tp split."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data == -1:
-        if n % model != 0:
-            raise ValueError(f"{n} devices not divisible by model={model}")
-        data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
+        if n % (model * seq) != 0:
+            raise ValueError(
+                f"{n} devices not divisible by model*seq={model * seq}"
+            )
+        data = n // (model * seq)
+    if data * model * seq != n:
+        raise ValueError(f"mesh {data}x{seq}x{model} != {n} devices")
+    auto = jax.sharding.AxisType.Auto
+    if seq > 1:
+        return jax.make_mesh(
+            (data, seq, model), (DATA_AXIS, SEQ_AXIS, MODEL_AXIS),
+            devices=devices, axis_types=(auto, auto, auto),
+        )
     # Auto axis types: let GSPMD propagate shardings through reshapes etc.
     return jax.make_mesh(
         (data, model), (DATA_AXIS, MODEL_AXIS), devices=devices,
-        axis_types=(jax.sharding.AxisType.Auto, jax.sharding.AxisType.Auto),
+        axis_types=(auto, auto),
     )
 
 

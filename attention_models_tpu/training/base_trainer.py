@@ -57,17 +57,19 @@ class BaseTrainer:
         )
 
         tp = int(cfg.training.get("tensor_parallel", 1) or 1)
-        avail = len(jax.devices()) // tp
+        sp = int(cfg.training.get("sequence_parallel", 1) or 1)
+        avail = len(jax.devices()) // (tp * sp)
         dp = math.gcd(self.batch_size, avail)  # data axis must divide batch
         if dp < avail:
             log.warning(
                 "batch_size=%d only divides %d of %d available data-parallel "
                 "devices — %d devices idle. Pick a batch size divisible by "
                 "the device count to use the full mesh.",
-                self.batch_size, dp, avail, (avail - dp) * tp,
+                self.batch_size, dp, avail, (avail - dp) * tp * sp,
             )
         self.mesh = create_mesh(
-            data=dp, model=tp, devices=jax.devices()[: dp * tp]
+            data=dp, model=tp, seq=sp,
+            devices=jax.devices()[: dp * tp * sp],
         )
         # Ambient mesh for the whole trainer lifetime: attention dispatch
         # reads it from the trace context to run the Pallas flash kernel
