@@ -1023,22 +1023,16 @@ def _flash_bthd_fwd(causal, scale, block_q, block_k, interpret, q, k, v):
 
 
 def _flash_bthd_bwd(causal, scale, block_q, block_k, interpret, res, g):
-    """Backward via the classic per-(b·h) kernels: transpose the residuals
-    to (b, h, t, d), run _flash_backward, transpose the grads back. The
-    all-heads-per-program backward kernels measured ~3x slower in-model
-    (few programs, small dots), while these transposes are plain
-    bandwidth — the classic kernels win decisively."""
+    """Backward stays layout-native too: the all-heads-per-program kernels
+    at (256, 256) blocks measured 1.78 ms fwd+bwd at the recon shape vs
+    3.03 ms for transpose-to-classic-kernels (the (b,h,t,d) transposes at
+    d=64 run at a fraction of HBM bandwidth — exactly the copies this
+    layout exists to avoid)."""
     q, k, v, o, lse = res
-    qh, kh, vh, oh, gh = (jnp.swapaxes(x, 1, 2) for x in (q, k, v, o, g))
-    dq, dk, dv = _flash_backward(
-        qh, kh, vh, oh, jnp.swapaxes(lse, 1, 2), gh,
-        scale=scale, causal=causal, block_q=max(block_q, 512),
-        block_k=max(block_k, 512), interpret=interpret,
-    )
-    return (
-        jnp.swapaxes(dq, 1, 2),
-        jnp.swapaxes(dk, 1, 2),
-        jnp.swapaxes(dv, 1, 2),
+    return _flash_backward_bthd(
+        q, k, v, o, lse, g,
+        scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+        interpret=interpret,
     )
 
 
