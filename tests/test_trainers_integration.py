@@ -320,3 +320,28 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
         assert trainer.global_step == saved
     finally:
         os.chdir(cwd)
+
+
+def test_trainer_sequence_parallel(tmp_path):
+    """dp x sp x tp mesh end-to-end: training.sequence_parallel builds the
+    3-D (data, seq, model) mesh and the loss trajectory matches the dp-only
+    run (on CPU attention takes the GSPMD XLA path; the ring kernel itself
+    is covered by tests/test_ring_attention.py)."""
+    import numpy as np
+
+    (tmp_path / "sp").mkdir()
+    (tmp_path / "dp").mkdir()
+    trainer, _ = _run("vit_overfit.yaml", tmp_path / "sp",
+                      **{"training.sequence_parallel": 2,
+                         "training.tensor_parallel": 2,
+                         "training.num_epochs": 2})
+    assert dict(trainer.mesh.shape) == {"data": 2, "seq": 2, "model": 2}
+    losses_sp = [l["loss"] for l in _losses(tmp_path / "sp", "vit_overfit")
+                 if "loss" in l]
+
+    trainer_dp, _ = _run("vit_overfit.yaml", tmp_path / "dp",
+                         **{"training.num_epochs": 2})
+    losses_dp = [l["loss"] for l in _losses(tmp_path / "dp", "vit_overfit")
+                 if "loss" in l]
+    assert len(losses_sp) == len(losses_dp) > 0
+    np.testing.assert_allclose(losses_sp, losses_dp, rtol=2e-2, atol=1e-3)
