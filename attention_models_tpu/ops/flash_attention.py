@@ -30,29 +30,6 @@ LOG2E = 1.4426950408889634  # 1/ln(2)
 LN2 = 0.6931471805599453
 
 
-def _q_view(ref):
-    """(1, L, d) or (1, L, 1, d) block ref -> (L, d) value. The 4-D form is
-    the (b, t, h, d) layout-native path: blocks slice one head strided out of
-    the projection's natural output, so XLA inserts no transpose copies at
-    the kernel boundary."""
-    return ref[0] if ref.ndim == 3 else ref[0, :, 0, :]
-
-
-def _seq_slice(ref, start, size):
-    """(size, d) slice along the sequence dim of a (1, L, d)/(1, L, 1, d)
-    block ref ((bq, 1) for the lse/delta refs whose trailing dim is 1)."""
-    if ref.ndim == 3:
-        return ref[0, pl.ds(start, size), :]
-    return ref[0, pl.ds(start, size), 0, :]
-
-
-def _store(ref, val):
-    if ref.ndim == 3:
-        ref[0] = val
-    else:
-        ref[0, :, 0, :] = val
-
-
 def _dot_precision(dtype):
     """In-kernel dot precision: bf16 operands take the MXU fast path; fp32
     operands get exact fp32 passes (the golden bit-match path runs the
@@ -94,11 +71,11 @@ def _flash_kernel(
     # score-domain formulation (the golden bit-match path).
     fast = q_ref.dtype != jnp.float32
     if fast:
-        q = (_q_view(q_ref).astype(jnp.float32) * (scale * LOG2E)).astype(
+        q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(
             q_ref.dtype
         )  # (bq, d) — 16-64x fewer elements than the (bq, bk) scores
     else:
-        q = _q_view(q_ref)  # (bq, d)
+        q = q_ref[0]  # (bq, d)
 
     num_k_blocks = pl.cdiv(tk, block_k)
     if causal:
@@ -107,18 +84,18 @@ def _flash_kernel(
         num_k_blocks = (jnp.minimum(max_col, tk) + block_k - 1) // block_k
 
     acc, m, l = _fwd_core(
-        q, lambda kb: (_seq_slice(k_ref, kb * block_k, block_k),
-                       _seq_slice(v_ref, kb * block_k, block_k)),
+        q, lambda kb: (k_ref[0, pl.ds(kb * block_k, block_k), :],
+                    v_ref[0, pl.ds(kb * block_k, block_k), :]),
         num_k_blocks, fast=fast, causal=causal, scale=scale,
         block_q=block_q, block_k=block_k, q_idx=q_idx, tq=tq, tk=tk, d=d,
         dtype=q_ref.dtype,
     )
-    _store(o_ref, (acc / l).astype(o_ref.dtype))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
     # the saved logsumexp is ALWAYS natural-log (the backward contract)
     if fast:
-        _store(lse_ref, (m + jnp.log2(l)) * LN2)  # (bq, 1)
+        lse_ref[0] = (m + jnp.log2(l)) * LN2  # (bq, 1)
     else:
-        _store(lse_ref, m + jnp.log(l))  # (bq, 1)
+        lse_ref[0] = m + jnp.log(l)  # (bq, 1)
 
 
 def _fwd_core(
@@ -305,8 +282,8 @@ def _flash_bwd_dkv_kernel(
     block_k = k_ref.shape[1]
     d = k_ref.shape[-1]
     k_idx = pl.program_id(1)
-    kT = jnp.transpose(_q_view(k_ref))  # (d, bk), native dtype for MXU dots
-    v_blk = _q_view(v_ref)  # (bk, d)
+    kT = jnp.transpose(k_ref[0])  # (d, bk), native dtype for MXU dots
+    v_blk = v_ref[0]  # (bk, d)
     # bf16 fast path: exp2-domain recompute of P (see _flash_kernel); the
     # score multiply constant absorbs log2e and lse (natural log, per the
     # residual contract) converts on the cheap (bq, 1) side.
@@ -324,17 +301,17 @@ def _flash_bwd_dkv_kernel(
 
     dk, dv = _bwd_dkv_core(
         kT, v_blk,
-        lambda qb: (_seq_slice(q_ref, qb * block_q, block_q),
-                    _seq_slice(do_ref, qb * block_q, block_q),
-                    _seq_slice(lse_ref, qb * block_q, block_q),
-                    _seq_slice(delta_ref, qb * block_q, block_q)),
+        lambda qb: (q_ref[0, pl.ds(qb * block_q, block_q), :],
+                    do_ref[0, pl.ds(qb * block_q, block_q), :],
+                    lse_ref[0, pl.ds(qb * block_q, block_q), :],
+                    delta_ref[0, pl.ds(qb * block_q, block_q), :]),
         q_start, num_q_blocks,
         fast=fast, causal=causal, scale=scale, s_scale=s_scale,
         block_q=block_q, block_k=block_k, k_idx=k_idx, tq=tq, tk=tk, d=d,
         dtype=q_ref.dtype,
     )
-    _store(dk_ref, dk.astype(dk_ref.dtype))
-    _store(dv_ref, dv.astype(dv_ref.dtype))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
 def _bwd_dkv_core(
@@ -466,10 +443,10 @@ def _flash_bwd_dq_kernel(
     d = q_ref.shape[-1]
     q_idx = pl.program_id(1)
 
-    q_blk = _q_view(q_ref)  # native dtype for MXU dots; scale on the scores
-    do_blk = _q_view(do_ref)
-    lse_blk = _q_view(lse_ref)  # (bq, 1)
-    delta_blk = _q_view(delta_ref)  # (bq, 1)
+    q_blk = q_ref[0]  # native dtype for MXU dots; scale on the scores
+    do_blk = do_ref[0]
+    lse_blk = lse_ref[0]  # (bq, 1)
+    delta_blk = delta_ref[0]  # (bq, 1)
     # bf16 fast path: exp2-domain P recompute (see _flash_bwd_dkv_kernel);
     # the lse -> log2 conversion happens inside _bwd_dq_core.
     fast = q_ref.dtype != jnp.float32
@@ -482,14 +459,14 @@ def _flash_bwd_dq_kernel(
 
     dq = _bwd_dq_core(
         q_blk, do_blk, lse_blk, delta_blk,
-        lambda kb: (_seq_slice(k_ref, kb * block_k, block_k),
-                    _seq_slice(v_ref, kb * block_k, block_k)),
+        lambda kb: (k_ref[0, pl.ds(kb * block_k, block_k), :],
+                    v_ref[0, pl.ds(kb * block_k, block_k), :]),
         num_k_blocks,
         fast=fast, s_scale=s_scale, causal=causal,
         block_q=block_q, block_k=block_k, q_idx=q_idx, tq=tq, tk=tk, d=d,
         dtype=q_ref.dtype,
     )
-    _store(dq_ref, (dq * scale).astype(dq_ref.dtype))
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
 
 def _bwd_dq_core(
