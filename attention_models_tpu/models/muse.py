@@ -156,9 +156,11 @@ class MUSE(nn.Module):
         approx_topk: bool = False,
     ):
         """Default decode is reference-exact (top-count filter). Passing
-        ``approx_topk=True`` opts into lax.approx_max_k (~25% of step time
-        when exact; recall ~0.95 — see ops/sampling.filter_logits); bench.py
-        and the inference CLIs expose it as an explicit speed opt-in."""
+        ``approx_topk=True`` opts into the sort-free counting-bisection
+        top-k filter (full recall of the kept set; see
+        ops/sampling.kth_value_bisect) — the exact lax.top_k costs ~25% of
+        a decode step at C=8192. bench.py and the inference CLIs expose it
+        as an explicit speed opt-in."""
         gs = self.guidance_scale if guidance_scale is None else guidance_scale
         b = text_ids.shape[0]
         n = vq_num_patches(self.vq_config)

