@@ -64,9 +64,39 @@ def geglu(x: jnp.ndarray) -> jnp.ndarray:
     return gate * nn.gelu(a, approximate=False)
 
 
+class _DenseKernel(nn.Module):
+    """Param-only stand-in for a no-bias nn.Dense: same pytree path
+    (<name>/kernel), same init, same param dtype — so the fused-FFN path
+    below can consume the raw weights while checkpoints, the TP sharding
+    rules and the torch converters keep working unchanged."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
+class _GammaParam(nn.Module):
+    """Param-only stand-in for GammaLayerNorm's scale (<name>/gamma)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("gamma", nn.initializers.ones, (self.dim,),
+                          jnp.float32)
+
+
 class FeedForward(nn.Module):
     """GEGLU FFN: Dense(2·inner, no bias) → GEGLU → GammaLayerNorm(inner) →
-    Dense(dim, no bias); inner = int(dim·mult·2/3)."""
+    Dense(dim, no bias); inner = int(dim·mult·2/3).
+
+    On TPU with lane-aligned dims the whole block runs as ONE fused Pallas
+    kernel (ops/ffn.py) — the (N, 2·inner) and (N, inner) intermediates
+    never touch HBM (measured ~half of a Muse decode step unfused). The
+    unfused path is numerically identical to the previous nn.Dense chain."""
 
     dim: int
     mult: float = 4
@@ -74,11 +104,25 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from attention_models_tpu.ops.ffn import ffn_supported, fused_ffn
+        from attention_models_tpu.ops.layernorm import layernorm
+
         inner = int(self.dim * self.mult * 2 / 3)
-        h = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype, name="ff_in")(x)
+        w1 = _DenseKernel((x.shape[-1], inner * 2), name="ff_in")()
+        gamma = _GammaParam(inner, name="norm")()
+        w2 = _DenseKernel((inner, self.dim), name="ff_out")()
+
+        if (
+            ffn_supported(x.shape, x.shape[-1], inner)
+            and (2 * inner) % 128 == 0
+            and self.dim % 128 == 0
+        ):
+            return fused_ffn(x, w1, gamma, w2)
+
+        h = jnp.dot(x, w1.astype(self.dtype))
         h = geglu(h)
-        h = GammaLayerNorm(inner, dtype=self.dtype, name="norm")(h)
-        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="ff_out")(h)
+        h = layernorm(h, gamma, None).astype(self.dtype)
+        return jnp.dot(h, w2.astype(self.dtype))
 
 
 def xformers_hidden(hidden_features: int) -> int:

@@ -1,0 +1,188 @@
+"""Fused GEGLU feed-forward (Pallas): Dense(2i) → GEGLU → γ-LayerNorm →
+Dense(d) in ONE kernel pass.
+
+Unfused, the FFN round-trips every intermediate through HBM: the (N, 2i)
+ff_in output, the (N, i) GEGLU result, and the LN output — ~1GB per layer at
+Muse's decode shape (N=16k tokens, i=4096), which profiling shows as ~half
+the decode step. Here a row tile of x enters VMEM once, both weight matrices
+stay RESIDENT across the whole grid (constant index_map — fetched a single
+time), and only the (N, d) output leaves. HBM traffic per layer drops to
+x + out + weights ≈ 75MB.
+
+Forward-only fusion: the backward is a custom VJP that recomputes through
+the reference jnp formulation (same pattern as ops/layernorm.py), so
+training numerics are the plain-XLA ones and inference/recon get the fused
+path. Semantics match models/layers.py::FeedForward exactly: no-bias
+denses, gelu(approximate=False) on the FIRST half, gate from the second,
+fp32 LN statistics with scale-only gamma.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from attention_models_tpu.ops.flash_attention import _dot_precision
+
+
+def _erf_approx(x):
+    """erf via Abramowitz & Stegun 7.1.26 (max abs error 1.5e-7) — Mosaic
+    has no erf primitive; this uses only exp/mul/add, all supported. The
+    error is far below bf16 resolution and the 1e-5 test tolerances."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    """gelu(approximate=False): x·Φ(x) — matches jax.nn.gelu to ~1e-7."""
+    return x * 0.5 * (1.0 + _erf_approx(x * 0.7071067811865476))
+
+
+def _ffn_kernel(
+    x_ref,  # (bn, d)
+    w1_ref,  # (d, 2i) — resident (constant index_map)
+    gamma_ref,  # (1, i)
+    w2_ref,  # (i, d) — resident
+    o_ref,  # (bn, d)
+    *,
+    eps: float,
+):
+    dtype = x_ref.dtype
+    i = w2_ref.shape[0]
+    h = jax.lax.dot_general(
+        x_ref[...], w1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_dot_precision(dtype),
+    )  # (bn, 2i) fp32
+    a = h[:, :i]
+    gate = h[:, i:]
+    g = gate * _gelu_exact(a)  # fp32
+    mean = jnp.mean(g, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(g - mean), axis=-1, keepdims=True)
+    y = (g - mean) * jax.lax.rsqrt(var + eps)
+    y = y * gamma_ref[...].astype(jnp.float32)
+    o = jax.lax.dot_general(
+        y.astype(dtype), w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_dot_precision(dtype),
+    )
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def _ffn_reference(x, w1, gamma, w2, eps):
+    """The unfused formulation (identical to models/layers.py::FeedForward
+    with the params applied manually) — the backward path and the CPU path."""
+    dtype = x.dtype
+    h = jnp.dot(x, w1.astype(dtype))
+    i = w2.shape[0]
+    a, gate = h[..., :i], h[..., i:]
+    g = gate * jax.nn.gelu(a, approximate=False)
+    g32 = g.astype(jnp.float32)
+    mean = jnp.mean(g32, axis=-1, keepdims=True)
+    var = jnp.var(g32, axis=-1, keepdims=True)
+    y = (g32 - mean) / jnp.sqrt(var + eps) * gamma
+    return jnp.dot(y.astype(dtype), w2.astype(dtype))
+
+
+def _ffn_forward(x, w1, gamma, w2, *, eps, block_rows, interpret):
+    orig_shape = x.shape
+    d = orig_shape[-1]
+    two_i = w1.shape[-1]
+    i = two_i // 2
+    xf = x.reshape(-1, d)
+    n = xf.shape[0]
+    bn = min(block_rows, n)
+    while n % bn and bn > 8:
+        bn -= 8 if bn % 8 == 0 else bn % 8
+    if bn < 8 or n % bn:
+        raise ValueError(f"unsupported FFN row count {n}")
+
+    w1c = w1.astype(x.dtype)
+    w2c = w2.astype(x.dtype)
+    out = pl.pallas_call(
+        functools.partial(_ffn_kernel, eps=eps),
+        grid=(n // bn,),
+        in_specs=[
+            pl.BlockSpec((bn, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, two_i), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, i), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((i, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bn, d), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * d * two_i + 2 * n * i * d,
+            bytes_accessed=(xf.size + w1.size + w2.size + xf.size)
+            * x.dtype.itemsize,
+            transcendentals=n * i,
+        ),
+        interpret=interpret,
+    )(xf, w1c, gamma.reshape(1, i), w2c)
+    return out.reshape(orig_shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _ffn(eps, block_rows, interpret, x, w1, gamma, w2):
+    return _ffn_forward(x, w1, gamma, w2, eps=eps, block_rows=block_rows,
+                        interpret=interpret)
+
+
+def _ffn_fwd(eps, block_rows, interpret, x, w1, gamma, w2):
+    return (
+        _ffn(eps, block_rows, interpret, x, w1, gamma, w2),
+        (x, w1, gamma, w2),
+    )
+
+
+def _ffn_bwd(eps, block_rows, interpret, res, g):
+    x, w1, gamma, w2 = res
+    _, vjp = jax.vjp(
+        lambda x, w1, ga, w2: _ffn_reference(x, w1, ga, w2, eps),
+        x, w1, gamma, w2,
+    )
+    return vjp(g)
+
+
+_ffn.defvjp(_ffn_fwd, _ffn_bwd)
+
+
+def fused_ffn(
+    x: jnp.ndarray,  # (..., d)
+    w1: jnp.ndarray,  # (d, 2i)
+    gamma: jnp.ndarray,  # (i,)
+    w2: jnp.ndarray,  # (i, d)
+    *,
+    eps: float = 1e-5,
+    block_rows: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable fused GEGLU FFN (see module docstring)."""
+    return _ffn(eps, block_rows, interpret, x, w1, gamma, w2)
+
+
+def ffn_supported(shape: tuple, d: int, inner: int,
+                  platform: str | None = None) -> bool:
+    """Fused path gate: TPU backend, lane-aligned dims, row count tiles."""
+    if platform is None:
+        platform = jax.default_backend()
+    if platform not in ("tpu", "axon"):
+        return False
+    n = 1
+    for s in shape[:-1]:
+        n *= s
+    return d % 128 == 0 and inner % 128 == 0 and n % 8 == 0 and n >= 8
