@@ -65,17 +65,24 @@ def geglu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class _DenseKernel(nn.Module):
-    """Param-only stand-in for a no-bias nn.Dense: same pytree path
-    (<name>/kernel), same init, same param dtype — so the fused-FFN path
-    below can consume the raw weights while checkpoints, the TP sharding
-    rules and the torch converters keep working unchanged."""
+    """Param-only stand-in for an nn.Dense: same pytree paths
+    (<name>/kernel and optionally <name>/bias), same inits, same param
+    dtype — so the fused-FFN paths below can consume the raw weights while
+    checkpoints, the TP sharding rules and the torch converters keep
+    working unchanged. Returns kernel, or (kernel, bias) with use_bias."""
 
     shape: tuple
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self):
-        return self.param("kernel", nn.initializers.lecun_normal(),
-                          self.shape, jnp.float32)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            self.shape, jnp.float32)
+        if not self.use_bias:
+            return kernel
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.shape[1],), jnp.float32)
+        return kernel, bias
 
 
 class _GammaParam(nn.Module):
@@ -131,7 +138,13 @@ def xformers_hidden(hidden_features: int) -> int:
 
 
 class Mlp(nn.Module):
-    """Linear → activation → (dropout) → Linear → (dropout)."""
+    """Linear → activation → (dropout) → Linear → (dropout).
+
+    The default-configuration hot path (exact-gelu, biased, no active
+    dropout, bf16 on TPU — the ViTVQGAN TransformerBlock FFN) runs as one
+    fused Pallas kernel (ops/ffn.py::fused_mlp): the (N, hidden)
+    intermediate never touches HBM. fp32 keeps the exact unfused
+    formulation (the golden bit-match path)."""
 
     dim: int
     hidden_dim: int
@@ -142,6 +155,24 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from attention_models_tpu.ops.ffn import fused_mlp, mlp_supported
+
+        default_act = type(self).__dataclass_fields__["act"].default
+        fusable = (
+            self.use_bias
+            and self.act is default_act  # default exact-gelu only
+            and (self.dropout == 0.0 or deterministic)
+            and self.dtype == jnp.bfloat16
+            and x.dtype == jnp.bfloat16
+            and mlp_supported(x.shape, x.shape[-1])
+            and self.dim % 128 == 0
+        )
+        if fusable:
+            w1, b1 = _DenseKernel((x.shape[-1], self.hidden_dim),
+                                  use_bias=True, name="mlp_in")()
+            w2, b2 = _DenseKernel((self.hidden_dim, self.dim),
+                                  use_bias=True, name="mlp_out")()
+            return fused_mlp(x, w1, b1, w2, b2)
         h = nn.Dense(self.hidden_dim, use_bias=self.use_bias, dtype=self.dtype,
                      name="mlp_in")(x)
         h = self.act(h)

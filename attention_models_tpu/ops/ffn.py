@@ -186,3 +186,135 @@ def ffn_supported(shape: tuple, d: int, inner: int,
     for s in shape[:-1]:
         n *= s
     return d % 128 == 0 and inner % 128 == 0 and n % 8 == 0 and n >= 8
+
+
+# --------------------------------------------------------------------------- #
+# Fused plain-GELU MLP (Dense+bias -> gelu -> Dense+bias) — the ViTVQGAN
+# TransformerBlock FFN (models/layers.py::Mlp). Same single-pass design as
+# fused_ffn; biases ride along, no LN. bf16-only by policy: the fp32 path
+# (golden bit-match, CPU parity) keeps the exact unfused formulation, since
+# the in-kernel erf is the 1.5e-7 Abramowitz-Stegun approximation.
+# --------------------------------------------------------------------------- #
+
+
+def _mlp_kernel(
+    x_ref,  # (bn, d)
+    w1_ref,  # (d, hid) — resident
+    b1_ref,  # (1, hid)
+    w2_ref,  # (hid, d) — resident
+    b2_ref,  # (1, d)
+    o_ref,  # (bn, d)
+):
+    dtype = x_ref.dtype
+    h = jax.lax.dot_general(
+        x_ref[...], w1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_dot_precision(dtype),
+    ) + b1_ref[...].astype(jnp.float32)
+    g = _gelu_exact(h)
+    o = jax.lax.dot_general(
+        g.astype(dtype), w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_dot_precision(dtype),
+    ) + b2_ref[...].astype(jnp.float32)
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def _mlp_reference(x, w1, b1, w2, b2):
+    """Unfused formulation, identical to models/layers.py::Mlp with the
+    params applied manually (the backward path and the CPU/fp32 path)."""
+    dtype = x.dtype
+    h = jnp.dot(x, w1.astype(dtype)) + b1.astype(dtype)
+    g = jax.nn.gelu(h, approximate=False)
+    return jnp.dot(g, w2.astype(dtype)) + b2.astype(dtype)
+
+
+def _mlp_forward(x, w1, b1, w2, b2, *, block_rows, interpret):
+    orig_shape = x.shape
+    d = orig_shape[-1]
+    hid = w1.shape[-1]
+    xf = x.reshape(-1, d)
+    n = xf.shape[0]
+    bn = min(block_rows, n)
+    while n % bn and bn > 8:
+        bn -= 8 if bn % 8 == 0 else bn % 8
+    if bn < 8 or n % bn:
+        raise ValueError(f"unsupported MLP row count {n}")
+
+    out = pl.pallas_call(
+        _mlp_kernel,
+        grid=(n // bn,),
+        in_specs=[
+            pl.BlockSpec((bn, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, hid), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hid), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hid, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bn, d), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * d * hid,
+            bytes_accessed=(2 * xf.size + w1.size + w2.size)
+            * x.dtype.itemsize,
+            transcendentals=n * hid,
+        ),
+        interpret=interpret,
+    )(xf, w1.astype(x.dtype), b1.reshape(1, hid), w2.astype(x.dtype),
+      b2.reshape(1, d))
+    return out.reshape(orig_shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _mlp(block_rows, interpret, x, w1, b1, w2, b2):
+    return _mlp_forward(x, w1, b1, w2, b2, block_rows=block_rows,
+                        interpret=interpret)
+
+
+def _mlp_fwd(block_rows, interpret, x, w1, b1, w2, b2):
+    return (
+        _mlp(block_rows, interpret, x, w1, b1, w2, b2),
+        (x, w1, b1, w2, b2),
+    )
+
+
+def _mlp_bwd(block_rows, interpret, res, g):
+    x, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(_mlp_reference, x, w1, b1, w2, b2)
+    return vjp(g)
+
+
+_mlp.defvjp(_mlp_fwd, _mlp_bwd)
+
+
+def fused_mlp(
+    x: jnp.ndarray,  # (..., d)
+    w1: jnp.ndarray,  # (d, hid)
+    b1: jnp.ndarray,  # (hid,)
+    w2: jnp.ndarray,  # (hid, d)
+    b2: jnp.ndarray,  # (d,)
+    *,
+    block_rows: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable fused GELU MLP (see section comment)."""
+    return _mlp(block_rows, interpret, x, w1, b1, w2, b2)
+
+
+def mlp_supported(shape: tuple, d: int, platform: str | None = None) -> bool:
+    """bf16 TPU fast path only (fp32 keeps the exact unfused formulation);
+    hidden width may be lane-unaligned (full-dim blocks pad internally)."""
+    if platform is None:
+        platform = jax.default_backend()
+    if platform not in ("tpu", "axon"):
+        return False
+    n = 1
+    for s in shape[:-1]:
+        n *= s
+    return d % 128 == 0 and n % 8 == 0 and n >= 8

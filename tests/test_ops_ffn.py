@@ -65,3 +65,46 @@ def test_feedforward_param_paths_unchanged():
                          params["ff_out"]["kernel"], 1e-5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_fused_mlp_matches_reference():
+    from attention_models_tpu.ops.ffn import _mlp_reference, fused_mlp
+
+    rs = np.random.RandomState(5)
+    x = jnp.array(rs.randn(2, 16, 128), jnp.float32)
+    w1 = jnp.array(rs.randn(128, 344) / np.sqrt(128), jnp.float32)
+    b1 = jnp.array(rs.randn(344) * 0.1, jnp.float32)
+    w2 = jnp.array(rs.randn(344, 128) / np.sqrt(344), jnp.float32)
+    b2 = jnp.array(rs.randn(128) * 0.1, jnp.float32)
+    ref = _mlp_reference(x, w1, b1, w2, b2)
+    got = fused_mlp(x, w1, b1, w2, b2, block_rows=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    cot = jnp.array(rs.randn(*x.shape), jnp.float32)
+
+    def loss(x, w1, b1, w2, b2):
+        return jnp.sum(
+            fused_mlp(x, w1, b1, w2, b2, block_rows=16, interpret=True) * cot
+        )
+
+    def loss_ref(x, w1, b1, w2, b2):
+        return jnp.sum(_mlp_reference(x, w1, b1, w2, b2) * cot)
+
+    gf = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_mlp_param_paths_unchanged():
+    from attention_models_tpu.models.layers import Mlp
+
+    mlp = Mlp(dim=64, hidden_dim=172)
+    x = jnp.array(np.random.RandomState(6).randn(2, 8, 64), jnp.float32)
+    params = mlp.init(jax.random.key(0), x)["params"]
+    assert set(params.keys()) == {"mlp_in", "mlp_out"}
+    assert set(params["mlp_in"].keys()) == {"kernel", "bias"}
+    assert params["mlp_in"]["kernel"].shape == (64, 172)
+    assert params["mlp_out"]["kernel"].shape == (172, 64)
