@@ -221,3 +221,62 @@ class AbsolutePositionalEmbedding(nn.Module):
     def __call__(self, positions):
         emb = nn.Embed(self.max_len, self.dim, name="emb")(positions)
         return l2_normalize(emb)
+
+
+class _LayerNormParams(nn.Module):
+    """Param-only stand-in for LayerNorm (<name>/gamma, <name>/beta) — lets
+    the fully-fused pre-LN MLP block consume raw LN params while keeping
+    checkpoint/converter pytree paths identical."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        gamma = self.param("gamma", nn.initializers.ones, (self.dim,),
+                           jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (self.dim,),
+                          jnp.float32)
+        return gamma, beta
+
+
+class _MlpParams(nn.Module):
+    """Param-only stand-in for an Mlp module — same nested pytree paths
+    (<name>/mlp_in/{kernel,bias}, <name>/mlp_out/{kernel,bias})."""
+
+    dim: int
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseKernel((self.dim, self.hidden_dim), use_bias=True,
+                              name="mlp_in")()
+        w2, b2 = _DenseKernel((self.hidden_dim, self.dim), use_bias=True,
+                              name="mlp_out")()
+        return w1, b1, w2, b2
+
+
+def ln_mlp_block(x, *, dim: int, hidden_dim: int, dtype,
+                 norm_name: str, mlp_name: str,
+                 deterministic: bool = True, dropout: float = 0.0):
+    """``x + Mlp(LayerNorm(x))`` — the second half of a ViT TransformerBlock.
+    On the TPU bf16 fast path the whole block is ONE Pallas kernel
+    (ops/ffn.py::fused_ln_mlp: LN + both matmuls + gelu + residual, no HBM
+    intermediates); otherwise the module composition runs unchanged. Call
+    from inside an @nn.compact __call__ (submodules attach to the caller)."""
+    from attention_models_tpu.ops.ffn import fused_ln_mlp, mlp_supported
+
+    fusable = (
+        (dropout == 0.0 or deterministic)
+        and dtype == jnp.bfloat16
+        and x.dtype == jnp.bfloat16
+        and mlp_supported(x.shape, x.shape[-1])
+        and dim % 128 == 0
+        and x.shape[-1] == dim
+    )
+    if fusable:
+        lng, lnb = _LayerNormParams(dim, name=norm_name)()
+        w1, b1, w2, b2 = _MlpParams(dim, hidden_dim, name=mlp_name)()
+        return fused_ln_mlp(x, lng, lnb, w1, b1, w2, b2)
+    h = LayerNorm(dim, dtype=dtype, name=norm_name)(x)
+    return x + Mlp(dim, hidden_dim, dropout=dropout, dtype=dtype,
+                   name=mlp_name)(h, deterministic=deterministic)

@@ -28,7 +28,12 @@ import flax.linen as nn
 from einops import rearrange
 
 from attention_models_tpu.models.attention import SoftmaxAttention
-from attention_models_tpu.models.layers import LayerNorm, Mlp, xformers_hidden
+from attention_models_tpu.models.layers import (
+    LayerNorm,
+    Mlp,  # noqa: F401 (re-export for ckpt-compat tooling)
+    ln_mlp_block,
+    xformers_hidden,
+)
 from attention_models_tpu.models.vit import PatchEmbedding
 from attention_models_tpu.ops.codebook import l2_normalize, nearest_codes
 
@@ -51,11 +56,14 @@ class ViTVQGANBlock(nn.Module):
             self.dim, self.n_heads, self.d_head, self.dropout,
             dtype=self.dtype, name="self_attn",
         )(h, deterministic=deterministic)
-        h = LayerNorm(self.dim, dtype=self.dtype, name="norm2")(x)
-        x = x + Mlp(
-            self.dim, xformers_hidden(self.mlp_dim), dropout=0.0,
-            dtype=self.dtype, name="mlp",
-        )(h, deterministic=deterministic)
+        # norm2 + Mlp + residual fuse into one Pallas kernel on the TPU bf16
+        # path (ops/ffn.py::fused_ln_mlp); identical module composition and
+        # param paths otherwise.
+        x = ln_mlp_block(
+            x, dim=self.dim, hidden_dim=xformers_hidden(self.mlp_dim),
+            dtype=self.dtype, norm_name="norm2", mlp_name="mlp",
+            deterministic=deterministic, dropout=0.0,
+        )
         return x
 
 

@@ -318,3 +318,141 @@ def mlp_supported(shape: tuple, d: int, platform: str | None = None) -> bool:
     for s in shape[:-1]:
         n *= s
     return d % 128 == 0 and n % 8 == 0 and n >= 8
+
+
+# --------------------------------------------------------------------------- #
+# Fully-fused pre-LN MLP block: out = x + Mlp(LayerNorm(x)) — the entire
+# second half of a ViT TransformerBlock in one kernel. The LN is rowwise, so
+# it fuses per tile for free; the residual is the tile itself. Saves the LN
+# and residual HBM round-trips on top of fused_mlp's savings.
+# --------------------------------------------------------------------------- #
+
+
+def _ln_mlp_kernel(
+    x_ref,  # (bn, d)
+    lng_ref,  # (1, d)
+    lnb_ref,  # (1, d)
+    w1_ref,  # (d, hid) — resident
+    b1_ref,  # (1, hid)
+    w2_ref,  # (hid, d) — resident
+    b2_ref,  # (1, d)
+    o_ref,  # (bn, d)
+    *,
+    eps: float,
+):
+    dtype = x_ref.dtype
+    x32 = x_ref[...].astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * lng_ref[...].astype(jnp.float32) + lnb_ref[...].astype(jnp.float32)
+    h = jax.lax.dot_general(
+        y.astype(dtype), w1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_dot_precision(dtype),
+    ) + b1_ref[...].astype(jnp.float32)
+    g = _gelu_exact(h)
+    o = jax.lax.dot_general(
+        g.astype(dtype), w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_dot_precision(dtype),
+    ) + b2_ref[...].astype(jnp.float32)
+    o_ref[...] = (x32 + o).astype(o_ref.dtype)
+
+
+def _ln_mlp_reference(x, lng, lnb, w1, b1, w2, b2, eps):
+    """Unfused: x + Mlp(LayerNorm(x)) with torch-semantics fp32 LN stats —
+    identical to LayerNorm + Mlp applied via their module formulations."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = ((x32 - mean) / jnp.sqrt(var + eps) * lng + lnb).astype(dtype)
+    return x + _mlp_reference(y, w1, b1, w2, b2)
+
+
+def _ln_mlp_forward(x, lng, lnb, w1, b1, w2, b2, *, eps, block_rows,
+                    interpret):
+    orig_shape = x.shape
+    d = orig_shape[-1]
+    hid = w1.shape[-1]
+    xf = x.reshape(-1, d)
+    n = xf.shape[0]
+    bn = min(block_rows, n)
+    while n % bn and bn > 8:
+        bn -= 8 if bn % 8 == 0 else bn % 8
+    if bn < 8 or n % bn:
+        raise ValueError(f"unsupported row count {n}")
+
+    out = pl.pallas_call(
+        functools.partial(_ln_mlp_kernel, eps=eps),
+        grid=(n // bn,),
+        in_specs=[
+            pl.BlockSpec((bn, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, hid), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hid), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hid, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bn, d), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * d * hid,
+            bytes_accessed=(2 * xf.size + w1.size + w2.size)
+            * x.dtype.itemsize,
+            transcendentals=n * hid,
+        ),
+        interpret=interpret,
+    )(xf, lng.reshape(1, d), lnb.reshape(1, d), w1.astype(x.dtype),
+      b1.reshape(1, hid), w2.astype(x.dtype), b2.reshape(1, d))
+    return out.reshape(orig_shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _ln_mlp(eps, block_rows, interpret, x, lng, lnb, w1, b1, w2, b2):
+    return _ln_mlp_forward(x, lng, lnb, w1, b1, w2, b2, eps=eps,
+                           block_rows=block_rows, interpret=interpret)
+
+
+def _ln_mlp_fwd(eps, block_rows, interpret, x, lng, lnb, w1, b1, w2, b2):
+    return (
+        _ln_mlp(eps, block_rows, interpret, x, lng, lnb, w1, b1, w2, b2),
+        (x, lng, lnb, w1, b1, w2, b2),
+    )
+
+
+def _ln_mlp_bwd(eps, block_rows, interpret, res, g):
+    x, lng, lnb, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda *a: _ln_mlp_reference(*a, eps), x, lng, lnb, w1, b1, w2, b2
+    )
+    return vjp(g)
+
+
+_ln_mlp.defvjp(_ln_mlp_fwd, _ln_mlp_bwd)
+
+
+def fused_ln_mlp(
+    x: jnp.ndarray,  # (..., d)
+    ln_gamma: jnp.ndarray,  # (d,)
+    ln_beta: jnp.ndarray,  # (d,)
+    w1: jnp.ndarray,  # (d, hid)
+    b1: jnp.ndarray,  # (hid,)
+    w2: jnp.ndarray,  # (hid, d)
+    b2: jnp.ndarray,  # (d,)
+    *,
+    eps: float = 1e-5,
+    block_rows: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable fused x + Mlp(LayerNorm(x)) (see section comment)."""
+    return _ln_mlp(eps, block_rows, interpret, x, ln_gamma, ln_beta,
+                   w1, b1, w2, b2)

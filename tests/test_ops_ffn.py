@@ -108,3 +108,50 @@ def test_mlp_param_paths_unchanged():
     assert set(params["mlp_in"].keys()) == {"kernel", "bias"}
     assert params["mlp_in"]["kernel"].shape == (64, 172)
     assert params["mlp_out"]["kernel"].shape == (172, 64)
+
+
+def test_fused_ln_mlp_matches_reference():
+    from attention_models_tpu.ops.ffn import _ln_mlp_reference, fused_ln_mlp
+
+    rs = np.random.RandomState(8)
+    x = jnp.array(rs.randn(2, 16, 128), jnp.float32)
+    lng = jnp.array(1.0 + 0.1 * rs.randn(128), jnp.float32)
+    lnb = jnp.array(0.1 * rs.randn(128), jnp.float32)
+    w1 = jnp.array(rs.randn(128, 344) / np.sqrt(128), jnp.float32)
+    b1 = jnp.array(rs.randn(344) * 0.1, jnp.float32)
+    w2 = jnp.array(rs.randn(344, 128) / np.sqrt(344), jnp.float32)
+    b2 = jnp.array(rs.randn(128) * 0.1, jnp.float32)
+    ref = _ln_mlp_reference(x, lng, lnb, w1, b1, w2, b2, 1e-5)
+    got = fused_ln_mlp(x, lng, lnb, w1, b1, w2, b2, block_rows=16,
+                       interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    cot = jnp.array(rs.randn(*x.shape), jnp.float32)
+    args = (x, lng, lnb, w1, b1, w2, b2)
+
+    def loss(*a):
+        return jnp.sum(fused_ln_mlp(*a, block_rows=16, interpret=True) * cot)
+
+    def loss_ref(*a):
+        return jnp.sum(_ln_mlp_reference(*a, 1e-5) * cot)
+
+    gf = jax.grad(loss, argnums=tuple(range(7)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_vitvqgan_block_param_paths_stable():
+    """ln_mlp_block keeps the ViTVQGANBlock pytree identical to the
+    LayerNorm+Mlp composition (norm2/{gamma,beta}, mlp/mlp_in, mlp/mlp_out)."""
+    from attention_models_tpu.models.vitvqgan import ViTVQGANBlock
+
+    blk = ViTVQGANBlock(dim=64, n_heads=2, d_head=32, mlp_dim=128)
+    x = jnp.array(np.random.RandomState(9).randn(2, 16, 64), jnp.float32)
+    params = blk.init(jax.random.key(0), x)["params"]
+    assert set(params.keys()) == {"norm1", "norm2", "self_attn", "mlp"}
+    assert set(params["norm2"].keys()) == {"gamma", "beta"}
+    assert set(params["mlp"].keys()) == {"mlp_in", "mlp_out"}
+    assert set(params["mlp"]["mlp_in"].keys()) == {"kernel", "bias"}
