@@ -35,7 +35,11 @@ def _nn_kernel(zt_ref, codes_t_ref, idx_ref, best_d_ref, *, block_codes: int):
     # dim, so per-token running (min, argmin) accumulates in VMEM scratch.
     # Inputs come in transposed (d, ·) layout: with codebook_dim ~32 < the
     # 128-lane tile, a (·, d) layout would pad every buffer 4x in VMEM.
-    # zt_ref: (d, bn); codes_t_ref: (d, bk); idx_ref/best_d_ref: (bn, 1)
+    # The score block is laid out (bk, bn) — CODES on sublanes, TOKENS on
+    # lanes — so the min/argmin runs down the sublane axis as elementwise
+    # vreg combines instead of a cross-lane shuffle tree (the lane-axis
+    # argmin was ~2.4 ms of the 2.48 ms recon codebook slice on v5e).
+    # zt_ref: (d, bn); codes_t_ref: (d, bk); idx_ref/best_d_ref: (1, bn)
     cb = pl.program_id(1)
 
     @pl.when(cb == 0)
@@ -49,18 +53,19 @@ def _nn_kernel(zt_ref, codes_t_ref, idx_ref, best_d_ref, *, block_codes: int):
     zt = zt_ref[:]  # (d, bn)
     ct = codes_t_ref[:]  # (d, bk)
     ctf = ct.astype(jnp.float32)
-    e_sq = jnp.sum(ctf * ctf, axis=0)[None, :]  # (1, bk) fp32
+    e_sq = jnp.sum(ctf * ctf, axis=0)[:, None]  # (bk, 1) fp32
     dots = jax.lax.dot_general(
-        zt, ct,
+        ct, zt,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=(jax.lax.Precision.HIGHEST
                    if zt.dtype == jnp.float32 else jax.lax.Precision.DEFAULT),
-    )  # (bn, bk) fp32
+    )  # (bk, bn) fp32
     d = e_sq - 2.0 * dots
-    local_min = jnp.min(d, axis=-1, keepdims=True)  # (bn, 1)
+    local_min = jnp.min(d, axis=0, keepdims=True)  # (1, bn)
     local_arg = (
-        jnp.argmin(d, axis=-1, keepdims=True).astype(jnp.int32) + cb * block_codes
+        jnp.argmin(d, axis=0, keepdims=True).astype(jnp.int32)  # first-lowest
+        + cb * block_codes
     )
     upd = local_min < best_d_ref[:]  # strict: earlier chunk wins ties
     best_d_ref[:] = jnp.where(upd, local_min, best_d_ref[:])
@@ -90,10 +95,10 @@ def _nearest_codes_pallas(
             pl.BlockSpec((d, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, bk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bn, 1), lambda i, j: (i, 0),
+        out_specs=pl.BlockSpec((1, bn), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((bn, 1), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, bn), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * n * k * d,
             bytes_accessed=(n * d + k * d + n) * 4,
@@ -117,8 +122,8 @@ def nearest_codes(
     z: jnp.ndarray,
     codes: jnp.ndarray,
     *,
-    block_n: int = 1024,  # swept on v5e: (1024, 8192) beats (512, 1024) ~35%
-    block_codes: int = 8192,
+    block_n: int = 1024,  # swept on v5e: transposed layout ~8% over lane-axis
+    block_codes: int = 2048,  # (bk, bn) fp32 scores must fit 16MB scoped VMEM
     use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """argmin_j ||z_i - e_j||² over a flattened (N, d) latent batch.
