@@ -68,7 +68,8 @@ def _tp_shardable(q, k, mesh):
 
 
 def _dispatch_attention(
-    q, k, v, *, scale, causal, causal_mask, context_mask, use_flash
+    q, k, v, *, scale, causal, causal_mask, context_mask, use_flash,
+    kv_packed=None,
 ):
     """q, k, v and the result are (b, t, h, d) — the LAYOUT-NATIVE form the
     projections produce, kept all the way into the Pallas kernel (the
@@ -125,6 +126,18 @@ def _dispatch_attention(
         else:
             use_flash = flash_ok
     if use_flash:
+        if kv_packed is not None and kv_packed.shape[0] == q.shape[0]:
+            # k/v straight from the fused wkv projection — no strided
+            # slice copies at the kernel boundary (see flash_attention_
+            # bthd_kv); the packed path needs matching batches (the XLA
+            # path may broadcast a size-1 q batch against the context)
+            from attention_models_tpu.ops.flash_attention import (
+                flash_attention_bthd_kv,
+            )
+
+            return flash_attention_bthd_kv(
+                q, kv_packed, scale=scale, causal=causal
+            )
         from attention_models_tpu.ops.flash_attention import (
             flash_attention_bthd,
         )
@@ -196,6 +209,7 @@ class SoftmaxAttention(nn.Module):
                 causal_mask=causal_mask,
                 context_mask=context_mask,
                 use_flash=self.use_flash,
+                kv_packed=kv5,
             )
             # out keeps ITS OWN batch (einsum broadcasting on the XLA path
             # can widen a size-1 q batch against the context batch)

@@ -198,6 +198,57 @@ def _flash_kernel_mh(
             lse_ref[0, :, hi:hi + 1] = m + jnp.log(l)
 
 
+def _flash_kernel_mh_kv(
+    q_ref,  # (1, block_q, h*d)
+    kv_ref,  # (1, tk, 2*h*d) — packed wkv projection output (k | v)
+    o_ref,  # (1, block_q, h*d)
+    lse_ref,  # (1, block_q, h)
+    *,
+    h: int,
+    scale: float,
+    causal: bool,
+    block_k: int,
+    tq: int,
+    tk: int,
+):
+    """Packed-kv forward (see _flash_bwd_fused_kernel_mh_kv): k/v arrive as
+    the fused projection's single (tk, 2·h·d) buffer and are peeled as VMEM
+    lane slices — no strided k/v slice copies at the pallas boundary."""
+    block_q = q_ref.shape[1]
+    hd = q_ref.shape[2]
+    d = hd // h
+    q_idx = pl.program_id(1)
+    fast = q_ref.dtype != jnp.float32
+
+    num_k_blocks = pl.cdiv(tk, block_k)
+    if causal:
+        max_col = (q_idx + 1) * block_q + (tk - tq)
+        num_k_blocks = (jnp.minimum(max_col, tk) + block_k - 1) // block_k
+
+    for hi in range(h):
+        sl = slice(hi * d, (hi + 1) * d)
+        q = q_ref[0, :, sl]
+        if fast:
+            q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
+        acc, m, l = _fwd_core(
+            q,
+            lambda kb, hi=hi: (
+                kv_ref[0, pl.ds(kb * block_k, block_k),
+                       hi * d:(hi + 1) * d],
+                kv_ref[0, pl.ds(kb * block_k, block_k),
+                       hd + hi * d:hd + (hi + 1) * d],
+            ),
+            num_k_blocks, fast=fast, causal=causal, scale=scale,
+            block_q=block_q, block_k=block_k, q_idx=q_idx, tq=tq, tk=tk,
+            d=d, dtype=q_ref.dtype,
+        )
+        o_ref[0, :, sl] = (acc / l).astype(o_ref.dtype)
+        if fast:
+            lse_ref[0, :, hi:hi + 1] = (m + jnp.log2(l)) * LN2
+        else:
+            lse_ref[0, :, hi:hi + 1] = m + jnp.log(l)
+
+
 def _pick_block(t: int, pref: int) -> int:
     """Largest block size <= pref that divides t (blocks must tile exactly so
     no softmax column reads padding garbage)."""
@@ -399,8 +450,70 @@ def _flash_bwd_fused_kernel_mh(
     bound by exactly those VPU passes, so fusing them is a direct win
     (same-process A/B at b=8 h=12 t=1024 d=64 bf16: fwd+bwd 4.16 -> 3.35 ms,
     ~20%, with dq/dk/dv bit-identical to the split pair)."""
-    block_k = k_ref.shape[1]
     d = k_ref.shape[2] // h
+
+    def load_kv(hi):
+        sl = slice(hi * d, (hi + 1) * d)
+        return k_ref[0, :, sl], v_ref[0, :, sl]
+
+    def store_dkv(hi, dk, dv):
+        sl = slice(hi * d, (hi + 1) * d)
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+
+    _bwd_fused_body(
+        q_ref, do_ref, lse_ref, delta_ref, dq_ref, load_kv, store_dkv,
+        h=h, d=d, block_k=k_ref.shape[1], scale=scale, causal=causal,
+        block_q=block_q, tq=tq, tk=tk,
+    )
+
+
+def _flash_bwd_fused_kernel_mh_kv(
+    q_ref,  # (1, tq, h*d) — full, resident
+    do_ref,  # (1, tq, h*d)
+    lse_ref,  # (1, tq, h)
+    delta_ref,  # (1, tq, h)
+    kv_ref,  # (1, block_k, 2*h*d) — packed wkv projection output (k | v)
+    dq_ref,  # (1, tq, h*d) fp32 — revisited across k grid steps
+    dkv_ref,  # (1, block_k, 2*h*d) — packed (dk | dv)
+    *,
+    h: int,
+    scale: float,
+    causal: bool,
+    block_q: int,
+    tq: int,
+    tk: int,
+):
+    """Packed-kv fused backward: k/v come in as ONE operand — the fused wkv
+    projection's own (b, tk, 2·h·d) output, k head-slices in the first h·d
+    lanes, v in the second — and dk/dv leave as one packed cotangent. The
+    separate-k/v entry point forces XLA to materialize strided slices of
+    that projection (and re-concatenate the grads): ~0.05 ms × 2 copies per
+    layer at the recon shape. Packing moves the split into VMEM lane slices
+    the kernel already does for heads."""
+    hd = q_ref.shape[2]
+    d = hd // h
+
+    def load_kv(hi):
+        return (kv_ref[0, :, hi * d:(hi + 1) * d],
+                kv_ref[0, :, hd + hi * d:hd + (hi + 1) * d])
+
+    def store_dkv(hi, dk, dv):
+        dkv_ref[0, :, hi * d:(hi + 1) * d] = dk.astype(dkv_ref.dtype)
+        dkv_ref[0, :, hd + hi * d:hd + (hi + 1) * d] = dv.astype(
+            dkv_ref.dtype)
+
+    _bwd_fused_body(
+        q_ref, do_ref, lse_ref, delta_ref, dq_ref, load_kv, store_dkv,
+        h=h, d=d, block_k=kv_ref.shape[1], scale=scale, causal=causal,
+        block_q=block_q, tq=tq, tk=tk,
+    )
+
+
+def _bwd_fused_body(
+    q_ref, do_ref, lse_ref, delta_ref, dq_ref, load_kv, store_dkv,
+    *, h, d, block_k, scale, causal, block_q, tq, tk,
+):
     k_idx = pl.program_id(1)
     fast = q_ref.dtype != jnp.float32
     s_scale = scale * LOG2E if fast else scale
@@ -418,9 +531,8 @@ def _flash_bwd_fused_kernel_mh(
 
     for hi in range(h):
         sl = slice(hi * d, (hi + 1) * d)
-        k_blk = k_ref[0, :, sl]  # (bk, d)
+        k_blk, v_blk = load_kv(hi)  # (bk, d) each
         kT = jnp.transpose(k_blk)  # (d, bk)
-        v_blk = v_ref[0, :, sl]  # (bk, d)
 
         def body(qb, carry, sl=sl, hi=hi, kT=kT, k_blk=k_blk, v_blk=v_blk):
             dk_acc, dv_acc = carry
@@ -484,8 +596,7 @@ def _flash_bwd_fused_kernel_mh(
             (jnp.zeros((block_k, d), jnp.float32),
              jnp.zeros((block_k, d), jnp.float32)),
         )
-        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
-        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+        store_dkv(hi, dk, dv)
 
 
 def _flash_bwd_dq_kernel(
@@ -1028,6 +1139,151 @@ def flash_attention_bthd(
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     return _flash_bthd(causal, scale, block_q, block_k, interpret, q, k, v)
+
+
+def _flash_forward_bthd_kv(
+    q, kv, *, scale, causal, block_q, block_k, interpret=False,
+):
+    """q: (b, tq, h, d); kv: (b, tk, 2, h, d) — a pure relabel of the fused
+    wkv projection's (b, tk, 2·h·d) output. Returns (out, lse)."""
+    b, tq, h, d = q.shape
+    tk = kv.shape[1]
+    bq, bk = _mh_pick_blocks(tq, tk, h, d, block_q, block_k,
+                             q.dtype.itemsize)
+    qf = q.reshape(b, tq, h * d)
+    kvf = kv.reshape(b, tk, 2 * h * d)
+    q_spec = pl.BlockSpec((1, bq, h * d), lambda i, j: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, tk, 2 * h * d), lambda i, j: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, bq, h), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _flash_kernel_mh_kv, h=h, scale=scale, causal=causal, block_k=bk,
+        tq=tq, tk=tk,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(b, pl.cdiv(tq, bq)),
+        in_specs=[q_spec, kv_spec],
+        out_specs=[q_spec, lse_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, tq, h * d), q.dtype),
+            jax.ShapeDtypeStruct((b, tq, h), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * tq * tk * d,
+            bytes_accessed=(q.size + kv.size) * q.dtype.itemsize,
+            transcendentals=b * h * tq * tk,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qf, kvf)
+    return out.reshape(b, tq, h, d), lse
+
+
+def _flash_backward_bthd_kv(
+    q, kv, o, lse, g, *, scale, causal, block_q, block_k, interpret=False,
+):
+    b, tq, h, d = q.shape
+    tk = kv.shape[1]
+    bq, _ = _mh_pick_blocks(tq, tk, h, d, min(block_q, 256),
+                            min(block_k, 256), q.dtype.itemsize)
+    bk, _ = _mh_pick_blocks(tk, tq, h, d, min(block_k, 256),
+                            min(block_q, 256), q.dtype.itemsize)
+    delta = jnp.sum(
+        g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    )  # (b, tq, h)
+    qf = q.reshape(b, tq, h * d)
+    kvf = kv.reshape(b, tk, 2 * h * d)
+    gf = g.reshape(b, tq, h * d)
+
+    q_full = pl.BlockSpec((1, tq, h * d), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    r_full = pl.BlockSpec((1, tq, h), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_blk = pl.BlockSpec((1, bk, 2 * h * d), lambda i, j: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    fused_kernel = functools.partial(
+        _flash_bwd_fused_kernel_mh_kv, h=h, scale=scale, causal=causal,
+        block_q=bq, tq=tq, tk=tk,
+    )
+    dq, dkv = pl.pallas_call(
+        fused_kernel,
+        grid=(b, pl.cdiv(tk, bk)),
+        in_specs=[q_full, q_full, r_full, r_full, kv_blk],
+        out_specs=[q_full, kv_blk],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, tq, h * d), jnp.float32),
+            jax.ShapeDtypeStruct((b, tk, 2 * h * d), kv.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=5 * b * h * tq * tk * d,
+            bytes_accessed=2 * (q.size + kv.size) * 4,
+            transcendentals=b * h * tq * tk,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qf, gf, lse, delta, kvf)
+    return (
+        dq.astype(q.dtype).reshape(b, tq, h, d),
+        dkv.reshape(b, tk, 2, h, d),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _flash_bthd_kv(causal, scale, block_q, block_k, interpret, q, kv):
+    out, _ = _flash_forward_bthd_kv(
+        q, kv, scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+        interpret=interpret,
+    )
+    return out
+
+
+def _flash_bthd_kv_fwd(causal, scale, block_q, block_k, interpret, q, kv):
+    out, lse = _flash_forward_bthd_kv(
+        q, kv, scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+        interpret=interpret,
+    )
+    return out, (q, kv, out, lse)
+
+
+def _flash_bthd_kv_bwd(causal, scale, block_q, block_k, interpret, res, g):
+    q, kv, o, lse = res
+    return _flash_backward_bthd_kv(
+        q, kv, o, lse, g,
+        scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+        interpret=interpret,
+    )
+
+
+_flash_bthd_kv.defvjp(_flash_bthd_kv_fwd, _flash_bthd_kv_bwd)
+
+
+def flash_attention_bthd_kv(
+    q: jnp.ndarray,
+    kv: jnp.ndarray,
+    *,
+    scale: float | None = None,
+    causal: bool = False,
+    block_q: int = 512,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention taking the fused wkv projection output UNSLICED:
+    q is (b, tq, h, d), kv is (b, tk, 2, h, d) with kv[:, :, 0] = k and
+    kv[:, :, 1] = v. Splitting k/v outside the kernel forces XLA to
+    materialize strided slices of the projection output (and to
+    re-concatenate the cotangents in backward) — real HBM copies at every
+    layer; this entry point moves the split into VMEM lane slices.
+    Differentiable (packed single-pass backward)."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    return _flash_bthd_kv(causal, scale, block_q, block_k, interpret, q, kv)
 
 
 def flash_attention_sharded_bthd(

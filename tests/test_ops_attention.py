@@ -258,3 +258,48 @@ def test_flash_bthd_matches_bhtd():
     for a, bb in zip(gb, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    atol=1e-3, rtol=1e-3)
+
+
+def test_flash_bthd_kv_packed_matches_separate():
+    """The packed-kv entry point (k/v as one (b, t, 2, h, d) operand — the
+    fused wkv projection's own layout) must agree with the separate-k/v
+    kernel: values and all three gradients, plain and causal."""
+    import jax
+
+    from attention_models_tpu.ops.flash_attention import (
+        flash_attention_bthd,
+        flash_attention_bthd_kv,
+    )
+
+    rs = np.random.RandomState(13)
+    b, h, t, d = 2, 4, 128, 32
+    q4 = jnp.array(rs.randn(b, t, h, d), jnp.float32)
+    kv5 = jnp.array(rs.randn(b, t, 2, h, d), jnp.float32)
+    scale = d ** -0.5
+    w = jnp.array(rs.randn(b, t, h, d), jnp.float32)
+
+    for causal in (False, True):
+        got = flash_attention_bthd_kv(q4, kv5, scale=scale, causal=causal,
+                                      block_q=64, block_k=64, interpret=True)
+        want = flash_attention_bthd(q4, kv5[:, :, 0], kv5[:, :, 1],
+                                    scale=scale, causal=causal,
+                                    block_q=64, block_k=64, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+        def loss_packed(q, kv):
+            o = flash_attention_bthd_kv(q, kv, scale=scale, causal=causal,
+                                        block_q=64, block_k=64,
+                                        interpret=True)
+            return jnp.sum(o * w)
+
+        def loss_sep(q, kv):
+            o = flash_attention_bthd(q, kv[:, :, 0], kv[:, :, 1],
+                                     scale=scale, causal=causal,
+                                     block_q=64, block_k=64, interpret=True)
+            return jnp.sum(o * w)
+
+        gp = jax.grad(loss_packed, argnums=(0, 1))(q4, kv5)
+        gs = jax.grad(loss_sep, argnums=(0, 1))(q4, kv5)
+        for a, bb in zip(gp, gs):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       atol=1e-5, rtol=1e-5)

@@ -109,6 +109,7 @@ def test_checkpoint_roundtrip(tmp_path):
     state = {"step": 7, "params": params, "opt": tx.init(params)}
     mgr = CheckpointManager(str(tmp_path / "ckpt"))
     mgr.save(7, state)
+    mgr.wait()  # saves are async; restore below models a LATER process
 
     template = jax.tree.map(jnp.zeros_like, state)
     template["step"] = 0
