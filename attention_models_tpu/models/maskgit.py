@@ -29,6 +29,8 @@ from attention_models_tpu.ops.sampling import (
     cross_entropy_ignore_index,
     filter_logits,
     gumbel_argmax,
+    sample_epilogue_fused,
+    sample_epilogue_supported,
     sample_topk_filtered,
     lowest_score_mask,
     mask_fill_inputs_and_targets,
@@ -180,6 +182,15 @@ class MaskGitTransformer(nn.Module):
             x = jnp.where(mask, self.mask_token_id, ids)
             logits = self.bidirectional_transformer(x)
             temperature = steps_left.astype(jnp.float32) / timesteps
+            if approx_topk and sample_epilogue_supported(logits.shape):
+                # ONE Pallas kernel: bisect top-k + gumbel argmax +
+                # chosen-class softmax prob (see ops/sampling)
+                pred, new_scores = sample_epilogue_fused(
+                    rng_t, logits, p=filter_p, temperature=temperature,
+                )
+                ids = jnp.where(mask, pred, ids)
+                scores = jnp.where(mask, new_scores, 1.0)
+                return (ids, scores), None
             # top-k runs on the model dtype (casting up adds no information
             # and doubles the HBM traffic of the vocab-wide scan)
             pred, chosen = sample_topk_filtered(

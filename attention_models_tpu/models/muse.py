@@ -31,6 +31,8 @@ from attention_models_tpu.ops.sampling import (
     cross_entropy_ignore_index,
     filter_logits,
     gumbel_argmax,
+    sample_epilogue_fused,
+    sample_epilogue_supported,
     sample_topk_filtered,
     lowest_score_mask,
     mask_fill_inputs_and_targets,
@@ -191,9 +193,19 @@ class MUSE(nn.Module):
             scaled = null32 + gs * (cond32 - null32)
 
             temperature = steps_left.astype(jnp.float32) / timesteps
-            # approx mode: run the vocab-wide top-k scan on a model-dtype
-            # CFG combine (half the HBM traffic); exact mode keeps the
-            # reference's fp32 combine for the filter
+            if approx_topk and sample_epilogue_supported(cond.shape):
+                # ONE Pallas kernel: CFG combine + bisect top-k + gumbel
+                # argmax + chosen-class softmax prob, logits VMEM-resident
+                # throughout (the XLA chain re-reads them from HBM ~20x)
+                pred, scores = sample_epilogue_fused(
+                    rng_t, cond, null,
+                    guidance_scale=gs, p=filter_p, temperature=temperature,
+                )
+                ids = jnp.where(mask, pred, ids)
+                return (ids, scores), None
+            # approx mode off-TPU: run the vocab-wide top-k scan on a
+            # model-dtype CFG combine (half the HBM traffic); exact mode
+            # keeps the reference's fp32 combine for the filter
             sample_in = (null + gs * (cond - null)) if approx_topk else scaled
             pred, chosen = sample_topk_filtered(
                 rng_t, sample_in, filter_p, temperature, approx=approx_topk

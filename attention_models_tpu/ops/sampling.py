@@ -19,10 +19,13 @@ Matches the reference's semantics (with fixes noted):
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def cosine_schedule(t: jnp.ndarray) -> jnp.ndarray:
@@ -125,6 +128,170 @@ def sample_topk_filtered(
     pred = jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0]
     chosen = jnp.take_along_axis(vals, choice[..., None], axis=-1)[..., 0]
     return pred.astype(jnp.int32), chosen.astype(jnp.float32)
+
+
+def _sample_epilogue_kernel(
+    temp_ref,  # SMEM (1, 1) f32 — gumbel temperature (varies per decode step)
+    seed_ref,  # SMEM (1, 2) int32 — PRNG seed words from the step's key
+    cond_ref,  # (bn, C) model dtype
+    *rest,  # [null_ref (bn, C)] + [noise_ref (bn, C) int32] + pred, score
+    guidance_scale,
+    k: int,
+    iters: int,
+    has_null: bool,
+    external_noise: bool,
+):
+    refs = list(rest)
+    null_ref = refs.pop(0) if has_null else None
+    noise_ref = refs.pop(0) if external_noise else None
+    pred_ref, score_ref = refs
+
+    x = cond_ref[...].astype(jnp.float32)  # (bn, C)
+    if has_null:
+        null = null_ref[...].astype(jnp.float32)
+        x = null + guidance_scale * (x - null)
+
+    # counting-bisection top-k threshold (see kth_value_bisect) — x stays
+    # VMEM-resident, so the 16 count passes cost VPU only, no HBM re-reads
+    rmax = jnp.max(x, axis=-1, keepdims=True)  # reused as the lse max
+    lo = jnp.min(x, axis=-1, keepdims=True)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum((x >= mid).astype(jnp.int32), axis=-1, keepdims=True)
+        up = cnt >= k
+        return jnp.where(up, mid, lo), jnp.where(up, hi, mid)
+
+    kth, _ = jax.lax.fori_loop(0, iters, body, (lo, rmax))
+
+    if external_noise:  # test path: deterministic bits fed from outside
+        bits = noise_ref[...]
+    else:
+        # Mosaic seeds take at most 2 words; fold the program id into one
+        pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1] + pl.program_id(0))
+        bits = pltpu.prng_random_bits(x.shape)
+    ubits = pltpu.bitcast(bits, jnp.uint32) >> jnp.uint32(8)  # 24 bits
+    # Mosaic has no uint32->f32 cast; the top bit is 0 after the shift, so
+    # the int32 view is non-negative and casts exactly
+    u = (pltpu.bitcast(ubits, jnp.int32).astype(jnp.float32)
+         * (2.0 ** -24) + 2.0 ** -25)  # (0, 1)
+    g = -jnp.log(-jnp.log(u))
+
+    noised = jnp.where(x >= kth, x + temp_ref[0, 0] * g, -jnp.inf)
+    pred = jnp.argmax(noised, axis=-1).astype(jnp.int32)  # (bn,)
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) == pred[:, None]
+    )
+    chosen = jnp.sum(jnp.where(onehot, x, 0.0), axis=-1, keepdims=True)
+    # softmax prob of the chosen class: exp(chosen - logsumexp(x))
+    lse = rmax + jnp.log(
+        jnp.sum(jnp.exp(x - rmax), axis=-1, keepdims=True)
+    )
+    pred_ref[...] = pred[:, None]
+    score_ref[...] = jnp.exp(chosen - lse)
+
+
+def _seed_words(rng) -> jnp.ndarray:
+    """(1, 2) int32 view of a PRNG key (typed or raw uint32 pair)."""
+    data = rng
+    if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
+        data = jax.random.key_data(rng)
+    words = jax.lax.bitcast_convert_type(
+        data.reshape(-1)[:2], jnp.int32
+    )
+    return words.reshape(1, 2)
+
+
+def sample_epilogue_supported(shape) -> bool:
+    """(..., C) logits: rows must sublane-tile and C must lane-tile."""
+    rows = math.prod(shape[:-1])
+    return (
+        jax.default_backend() in ("tpu", "axon")
+        and rows % 8 == 0
+        and shape[-1] % 128 == 0
+    )
+
+
+def sample_epilogue_fused(
+    rng: jax.Array,
+    logits: jnp.ndarray,  # (..., C) cond logits (or plain logits)
+    null_logits: jnp.ndarray | None = None,  # (..., C) for CFG
+    *,
+    guidance_scale: float = 1.0,
+    p: float = 0.9,
+    temperature: jnp.ndarray | float = 1.0,
+    iters: int = 16,
+    interpret: bool = False,
+    _noise_bits: jnp.ndarray | None = None,  # test hook: external gumbel bits
+):
+    """ONE Pallas kernel for the whole decode-step epilogue:
+    CFG combine → counting-bisection top-k threshold → temperature-scaled
+    gumbel argmax → softmax prob of the chosen class. Returns
+    (pred ids (...,), probs (...,) fp32) over the leading dims.
+
+    The unfused chain (XLA) re-reads the (b·n, C) logits from HBM for every
+    bisection count, the noise add, the argmax, and the logsumexp — several
+    GB per Muse step at C=8192. Here the fp32 combine stays VMEM-resident
+    for all of it, and the gumbel noise is generated in-kernel
+    (pltpu.prng_random_bits — a different stream than jax.random.gumbel, so
+    sampling parity with the XLA path is distributional, like every RNG
+    path; see the module docstring note on gumbel semantics)."""
+    lead = logits.shape[:-1]
+    C = logits.shape[-1]
+    rows = math.prod(lead)
+    k = math.ceil((1 - p) * C)
+
+    x2 = logits.reshape(rows, C)
+    operands = [
+        jnp.asarray(temperature, jnp.float32).reshape(1, 1),
+        _seed_words(rng),
+        x2,
+    ]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    for bn in (256, 128, 64, 32, 16, 8):
+        if rows % bn == 0:
+            break
+    else:
+        raise ValueError(f"row count {rows} does not sublane-tile")
+    blk = pl.BlockSpec((bn, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    in_specs.append(blk)
+    if null_logits is not None:
+        operands.append(null_logits.reshape(rows, C))
+        in_specs.append(blk)
+    if _noise_bits is not None:
+        operands.append(_noise_bits.reshape(rows, C))
+        in_specs.append(
+            pl.BlockSpec((bn, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+
+    out_blk = pl.BlockSpec((bn, 1), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _sample_epilogue_kernel,
+        guidance_scale=guidance_scale, k=k, iters=iters,
+        has_null=null_logits is not None,
+        external_noise=_noise_bits is not None,
+    )
+    pred, score = pl.pallas_call(
+        kernel,
+        grid=(rows // bn,),
+        in_specs=in_specs,
+        out_specs=[out_blk, out_blk],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, 1), jnp.int32),
+            jax.ShapeDtypeStruct((rows, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return pred.reshape(lead), score.reshape(lead)
 
 
 def random_mask(

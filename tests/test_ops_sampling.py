@@ -178,3 +178,83 @@ def test_sample_topk_filtered_approx_stays_in_topk():
     for b in range(pred.shape[0]):
         for t in range(pred.shape[1]):
             assert pred[b, t] in topk_idx[b, t], (b, t)
+
+
+def test_sample_epilogue_fused_matches_reference_math():
+    """The fused decode-epilogue kernel (CFG combine + bisect top-k +
+    gumbel argmax + chosen-class softmax prob) must match the same math
+    computed in plain JAX when fed the same noise bits (the in-kernel PRNG
+    is exercised on TPU; interpret mode feeds bits via the test hook)."""
+    import math as _math
+
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from attention_models_tpu.ops.sampling import (
+        kth_value_bisect,
+        sample_epilogue_fused,
+    )
+
+    rs = np.random.RandomState(5)
+    b, n, C = 2, 16, 256
+    cond = jnp.array(rs.randn(b, n, C), jnp.float32)
+    null = jnp.array(rs.randn(b, n, C), jnp.float32)
+    bits = jnp.array(
+        rs.randint(-(2 ** 31), 2 ** 31 - 1, (b, n, C)), jnp.int32
+    )
+    gs, p, temp = 3.0, 0.9, 0.35
+
+    with pltpu.force_tpu_interpret_mode():
+        pred, probs = sample_epilogue_fused(
+            jax.random.key(0), cond, null,
+            guidance_scale=gs, p=p, temperature=temp,
+            interpret=True, _noise_bits=bits,
+        )
+
+    # reference: identical math in plain JAX
+    x = null + gs * (cond - null)
+    k = _math.ceil((1 - p) * C)
+    kth = kth_value_bisect(x, k)[..., None]
+    ubits = jax.lax.bitcast_convert_type(bits, jnp.uint32) >> jnp.uint32(8)
+    u = ubits.astype(jnp.float32) * (2.0 ** -24) + 2.0 ** -25
+    g = -jnp.log(-jnp.log(u))
+    noised = jnp.where(x >= kth, x + temp * g, -jnp.inf)
+    want_pred = jnp.argmax(noised, axis=-1).astype(jnp.int32)
+    chosen = jnp.take_along_axis(x, want_pred[..., None], axis=-1)[..., 0]
+    lse = jax.scipy.special.logsumexp(x, axis=-1)
+    want_probs = jnp.exp(chosen - lse)
+
+    np.testing.assert_array_equal(np.asarray(pred), np.asarray(want_pred))
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(want_probs),
+                               rtol=1e-5, atol=1e-6)
+    # sampled ids always come from the kept top-k superset
+    keep = x >= kth
+    picked_kept = jnp.take_along_axis(keep, pred[..., None], axis=-1)
+    assert bool(jnp.all(picked_kept))
+
+
+def test_sample_epilogue_fused_no_cfg():
+    """MaskGIT path: plain logits, no null branch."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from attention_models_tpu.ops.sampling import sample_epilogue_fused
+
+    rs = np.random.RandomState(6)
+    logits = jnp.array(rs.randn(4, 8, 128), jnp.float32)
+    bits = jnp.array(
+        rs.randint(-(2 ** 31), 2 ** 31 - 1, (4, 8, 128)), jnp.int32
+    )
+    with pltpu.force_tpu_interpret_mode():
+        pred, probs = sample_epilogue_fused(
+            jax.random.key(1), logits,
+            p=0.9, temperature=0.0, interpret=True, _noise_bits=bits,
+        )
+    # temperature 0 => greedy over the kept set == global argmax
+    np.testing.assert_array_equal(
+        np.asarray(pred), np.asarray(jnp.argmax(logits, -1).astype(jnp.int32))
+    )
+    sm = jax.nn.softmax(logits, axis=-1)
+    want = jnp.take_along_axis(sm, pred[..., None], axis=-1)[..., 0]
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
