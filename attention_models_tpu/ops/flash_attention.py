@@ -1037,10 +1037,13 @@ def _flash_backward_bthd(
     # whole-heads q/do/lse/delta stay resident in the dkv program, plus the
     # per-head softmax transients: cap both blocks accordingly (the dkv
     # program streams FULL q/do, so swap tq/tk roles in the budget)
-    bq, _ = _mh_pick_blocks(tq, tk, h, d, min(block_q, 256),
-                            min(block_k, 256), q.dtype.itemsize)
-    bk, _ = _mh_pick_blocks(tk, tq, h, d, min(block_k, 256),
-                            min(block_q, 256), q.dtype.itemsize)
+    # prefs go through un-clamped: _mh_pick_blocks enforces the VMEM
+    # budget itself, and the backward amortizes its VPU passes better at
+    # the forward's big tiles (bq 256 -> 512 measured ~23% off fwd+bwd)
+    bq, _ = _mh_pick_blocks(tq, tk, h, d, block_q, block_k,
+                            q.dtype.itemsize)
+    bk, _ = _mh_pick_blocks(tk, tq, h, d, block_k, block_q,
+                            q.dtype.itemsize)
     delta = jnp.sum(
         g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
     )  # (b, tq, h)
@@ -1189,10 +1192,13 @@ def _flash_backward_bthd_kv(
 ):
     b, tq, h, d = q.shape
     tk = kv.shape[1]
-    bq, _ = _mh_pick_blocks(tq, tk, h, d, min(block_q, 256),
-                            min(block_k, 256), q.dtype.itemsize)
-    bk, _ = _mh_pick_blocks(tk, tq, h, d, min(block_k, 256),
-                            min(block_q, 256), q.dtype.itemsize)
+    # prefs go through un-clamped: _mh_pick_blocks enforces the VMEM
+    # budget itself, and the backward amortizes its VPU passes better at
+    # the forward's big tiles (bq 256 -> 512 measured ~23% off fwd+bwd)
+    bq, _ = _mh_pick_blocks(tq, tk, h, d, block_q, block_k,
+                            q.dtype.itemsize)
+    bk, _ = _mh_pick_blocks(tk, tq, h, d, block_k, block_q,
+                            q.dtype.itemsize)
     delta = jnp.sum(
         g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
     )  # (b, tq, h)
