@@ -220,6 +220,22 @@ class BaseTrainer:
             return jax.device_put(arr, replicated_sharding(self.mesh))
         return jax.device_put(arr, batch_sharding(self.mesh, arr.ndim))
 
+    def pad_batch(self, *arrays):
+        """Pad a ragged eval tail batch up to the configured batch size by
+        repeating the last element, so jitted eval fns reuse the full-batch
+        executable instead of recompiling (and falling back to replicated
+        placement) for the one odd tail shape per val set. Returns
+        (*padded, n_real); callers slice outputs back to ``n_real``."""
+        n = int(np.asarray(arrays[0]).shape[0])
+        if n >= self.batch_size:
+            return (*arrays, n)
+        out = []
+        for a in arrays:
+            a = np.asarray(a)
+            pad = np.repeat(a[-1:], self.batch_size - n, axis=0)
+            out.append(np.concatenate([a, pad], 0))
+        return (*out, n)
+
     def _with_rng(self, state):
         return {**state, "host_rng": self.rng.key_data()}
 

@@ -138,11 +138,13 @@ class MaskGitTrainer(_GeneratorTrainer):
         for i, (img, _) in enumerate(self.val_dl):
             if i > 10:
                 break
+            img_p, n = self.pad_batch(img)
             rec = self._recon_step(
-                self.state["params"], self.shard_batch(img), self.rng()
+                self.state["params"], self.shard_batch(img_p), self.rng()
             )
             self.log_image_grid(
-                rec, os.path.join(self.image_saved_dir, "step.png"),
+                np.asarray(rec, np.float32)[:n],
+                os.path.join(self.image_saved_dir, "step.png"),
                 "samples/recon",
             )
 
@@ -253,10 +255,12 @@ class MuseTrainer(_GeneratorTrainer):
         for i, (img, texts) in enumerate(self.val_dl):
             if i > 3:
                 break
-            ids = jnp.array(tokenize(list(texts), self.max_length))
-            imgs = self._generate_step(self.state["params"], ids, self.rng())
+            ids, n = self.pad_batch(tokenize(list(texts), self.max_length))
+            imgs = self._generate_step(self.state["params"], jnp.array(ids),
+                                       self.rng())
             self.log_image_grid(
-                imgs, os.path.join(self.image_saved_dir, f"step_{i}.png"),
+                np.asarray(imgs, np.float32)[:n],
+                os.path.join(self.image_saved_dir, f"step_{i}.png"),
                 f"samples/eval_{i}",
             )
 
@@ -340,11 +344,11 @@ class PartiTrainer(_GeneratorTrainer):
         for i, (_, texts) in enumerate(self.val_dl):
             if i > 0:
                 break
-            ids = jnp.array(tokenize(list(texts), self.max_length))
+            ids, n = self.pad_batch(tokenize(list(texts), self.max_length))
             imgs = parti_generate(self.model, {"params": self.state["params"]},
-                                  ids, self.rng())
+                                  jnp.array(ids), self.rng())
             self.log_image_grid(
-                imgs,
+                np.asarray(imgs, np.float32)[:n],
                 os.path.join(self.image_saved_dir, f"parti_step_{i}.png"),
                 f"samples/eval_{i}",
             )

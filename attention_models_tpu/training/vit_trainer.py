@@ -72,8 +72,10 @@ class VitTrainer(BaseTrainer):
 
         @jax.jit
         def eval_step(params, img, target):
+            # per-sample correctness so the host can slice off the padded
+            # rows of a ragged tail batch (pad_batch) before averaging
             logits = model_apply({"params": params}, img)
-            return jnp.mean((jnp.argmax(logits, -1) == target).astype(jnp.float32))
+            return (jnp.argmax(logits, -1) == target).astype(jnp.float32)
 
         self._train_step, self._eval_step = train_step, eval_step
 
@@ -108,14 +110,17 @@ class VitTrainer(BaseTrainer):
         log.info("Train finished!")
 
     def evaluate(self):
-        accs = []
+        correct = []
         for img, target in self.val_dl:
-            acc = self._eval_step(
-                self.state["params"], self.shard_batch(img),
-                self.shard_batch(np.asarray(target)),
+            img_p, tgt_p, n = self.pad_batch(img, np.asarray(target))
+            per_sample = self._eval_step(
+                self.state["params"], self.shard_batch(img_p),
+                self.shard_batch(tgt_p),
             )
-            accs.append(float(acc))
-        if accs:
-            self.metrics.log({"val_acc": float(np.mean(accs))},
-                             self.global_step)
+            correct.append(np.asarray(per_sample, np.float32)[:n])
+        if correct:
+            self.metrics.log(
+                {"val_acc": float(np.mean(np.concatenate(correct)))},
+                self.global_step,
+            )
         log.info("Validation finished!")

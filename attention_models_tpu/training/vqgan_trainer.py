@@ -226,8 +226,10 @@ class VQGANTrainer(BaseTrainer):
             if i == 10:
                 break
             img = batch[0] if isinstance(batch, (tuple, list)) else batch
-            rec = self._recon(self.state["g_params"], self.shard_batch(img))
-            pair = np.stack([np.asarray(img), np.asarray(rec, np.float32)], 1)
+            img_p, n = self.pad_batch(img)
+            rec = self._recon(self.state["g_params"], self.shard_batch(img_p))
+            rec = np.asarray(rec, np.float32)[:n]
+            pair = np.stack([np.asarray(img), rec], 1)
             pair = pair.reshape(-1, *pair.shape[2:])
             self.log_image_grid(
                 pair, f"{self.image_saved_dir}/step_{i}.png",

@@ -345,3 +345,52 @@ def test_trainer_sequence_parallel(tmp_path):
                  if "loss" in l]
     assert len(losses_sp) == len(losses_dp) > 0
     np.testing.assert_allclose(losses_sp, losses_dp, rtol=2e-2, atol=1e-3)
+
+
+def test_ragged_eval_padding_exact(tmp_path):
+    """Ragged val tail batches (val=2 < batch=4 here) are padded to the
+    train batch shape so jitted eval fns reuse one executable, and metrics
+    still cover exactly the real samples: the logged val_acc must equal a
+    direct unpadded forward over the val set."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    trainer, _ = _run("vit_overfit.yaml", tmp_path,
+                      **{"training.num_epochs": 1})
+    cwd = os.getcwd()
+    os.chdir(tmp_path)  # metrics/images paths are relative to outputs/
+    try:
+        trainer.evaluate()
+    finally:
+        os.chdir(cwd)
+    accs = [l["val_acc"] for l in _losses(tmp_path, "vit_overfit")
+            if "val_acc" in l]
+    assert accs, "evaluate() logged no val_acc"
+
+    ds = trainer.val_dl.dataset
+    imgs = np.stack([ds[i][0] for i in range(len(ds))])
+    tgts = np.asarray([ds[i][1] for i in range(len(ds))])
+    assert len(ds) % trainer.batch_size != 0  # the ragged case is exercised
+    logits = trainer.model.apply({"params": trainer.state["params"]},
+                                 jnp.asarray(imgs))
+    direct = float(np.mean(np.argmax(np.asarray(logits), -1) == tgts))
+    assert accs[-1] == pytest.approx(direct)
+
+
+def test_pad_batch_semantics(tmp_path):
+    """pad_batch repeats the final element up to batch_size and reports the
+    real count; full batches pass through untouched."""
+    import numpy as np
+
+    trainer, _ = _run("vit_overfit.yaml", tmp_path,
+                      **{"training.num_epochs": 1})
+    a = np.arange(2 * 3, dtype=np.float32).reshape(2, 3)
+    b = np.array([7, 9])
+    a_p, b_p, n = trainer.pad_batch(a, b)
+    assert n == 2 and a_p.shape[0] == trainer.batch_size == 4
+    np.testing.assert_array_equal(a_p[:2], a)
+    np.testing.assert_array_equal(a_p[2:], np.repeat(a[-1:], 2, axis=0))
+    np.testing.assert_array_equal(b_p, [7, 9, 9, 9])
+    full = np.zeros((4, 3), np.float32)
+    (full_p, n_full) = trainer.pad_batch(full)
+    assert n_full == 4 and full_p is full
