@@ -19,6 +19,21 @@ from attention_models_tpu.models.layers import (
     SinusoidalPositionalEncoding,
 )
 from attention_models_tpu.ops.sampling import gumbel_argmax
+from attention_models_tpu.parallel.mesh import DATA_AXIS, STAGE_AXIS
+from attention_models_tpu.parallel.pipeline import ambient_pp_mesh, pipeline_apply
+
+
+def _pp_usable(mesh, depth: int, batch: int) -> bool:
+    """Pipeline the scan-stacked layers iff the depth splits evenly into
+    stages and the per-data-shard batch exists (microbatching needs it)."""
+    stages = mesh.shape.get(STAGE_AXIS, 1)
+    dp = mesh.shape.get(DATA_AXIS, 1)
+    return (
+        stages > 1
+        and depth % stages == 0
+        and batch % dp == 0
+        and batch // dp >= 1
+    )
 
 
 class EncoderLayer(nn.Module):
@@ -62,6 +77,20 @@ class Encoder(nn.Module):
     def __call__(self, x, context_mask=None, deterministic: bool = True):
         layer_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
         if self.scan:
+            # Pipeline parallelism: when the trainer mesh has a sharded
+            # ``stage`` axis (training.pipeline_parallel), run the stacked
+            # layers as a GPipe ring instead of a sequential scan. Params
+            # were created by the nn.scan below (leading depth axis) so
+            # checkpoints are interchangeable between the two paths.
+            if not self.is_initializing():
+                pp_mesh = ambient_pp_mesh()
+                if pp_mesh is not None and _pp_usable(
+                    pp_mesh, self.depth, x.shape[0]
+                ):
+                    return self._pp_forward(
+                        layer_cls, x, context_mask, deterministic, pp_mesh
+                    )
+
             def body(layer, x, context_mask):
                 return layer(x, context_mask, deterministic), None
 
@@ -85,6 +114,41 @@ class Encoder(nn.Module):
                 dtype=self.dtype, name=f"layers_{i}",
             )(x, context_mask, deterministic)
         return x
+
+    def _pp_forward(self, layer_cls, x, context_mask, deterministic, mesh):
+        """GPipe forward over the ``stage`` mesh axis: each device applies
+        its contiguous depth/S slice of the scan-stacked params; the mask
+        streams with its microbatch; per-layer dropout rngs ride in the
+        scanned pytree so stochastic training still works."""
+        layer = layer_cls(
+            self.dim, self.n_heads, self.d_head, self.mult, self.dropout,
+            dtype=self.dtype,
+        )
+        scanned = {"params": self.variables["params"]["layers"]}
+        if (
+            not deterministic and self.dropout > 0
+            and self.has_rng("dropout")
+        ):
+            scanned["rng"] = jax.random.split(
+                self.make_rng("dropout"), self.depth
+            )
+        stream = (x,) if context_mask is None else (x, context_mask)
+
+        def layer_fn(p, tree, bc):
+            rngs = {"dropout": p["rng"]} if "rng" in p else None
+            mask = tree[1] if len(tree) > 1 else None
+            y = layer.apply(
+                {"params": p["params"]}, tree[0], mask, deterministic,
+                rngs=rngs,
+            )
+            return (y,) + tree[1:]
+
+        dp = mesh.shape.get(DATA_AXIS, 1)
+        out = pipeline_apply(
+            scanned, stream, layer_fn, mesh,
+            batch_axis=DATA_AXIS if dp > 1 else None,
+        )
+        return out[0]
 
 
 class DecoderLayer(nn.Module):
@@ -142,6 +206,18 @@ class Decoder(nn.Module):
         layer_cls = nn.remat(DecoderLayer) if self.remat else DecoderLayer
         x = dec_in
         if self.scan:
+            # Pipeline parallelism (see Encoder.__call__). Not in decode
+            # mode: the KV cache is per-device state the ring can't stream.
+            if not self.is_initializing() and not decode:
+                pp_mesh = ambient_pp_mesh()
+                if pp_mesh is not None and _pp_usable(
+                    pp_mesh, self.depth, x.shape[0]
+                ):
+                    return self._pp_forward(
+                        layer_cls, x, context, context_mask, causal_mask,
+                        causal, deterministic, pp_mesh,
+                    )
+
             def body(layer, x, context, context_mask, causal_mask):
                 return layer(
                     x, context, context_mask, causal_mask, causal,
@@ -171,6 +247,48 @@ class Decoder(nn.Module):
             )(x, context, context_mask, causal_mask, causal, deterministic,
               decode)
         return x
+
+    def _pp_forward(
+        self, layer_cls, x, context, context_mask, causal_mask, causal,
+        deterministic, mesh,
+    ):
+        """GPipe forward (see Encoder._pp_forward). The cross-attention
+        context and its mask stream with each microbatch (they are batched);
+        the causal mask is an unbatched broadcast constant."""
+        layer = layer_cls(
+            self.dim, self.n_heads, self.d_head, self.mult, self.dropout,
+            dtype=self.dtype, max_decode_len=self.max_decode_len,
+        )
+        scanned = {"params": self.variables["params"]["layers"]}
+        if (
+            not deterministic and self.dropout > 0
+            and self.has_rng("dropout")
+        ):
+            scanned["rng"] = jax.random.split(
+                self.make_rng("dropout"), self.depth
+            )
+        stream = (x, context)
+        if context_mask is not None:
+            stream = stream + (context_mask,)
+        broadcast = () if causal_mask is None else (causal_mask,)
+
+        def layer_fn(p, tree, bc):
+            rngs = {"dropout": p["rng"]} if "rng" in p else None
+            mask = tree[2] if len(tree) > 2 else None
+            y = layer.apply(
+                {"params": p["params"]}, tree[0], tree[1], mask,
+                bc[0] if bc else None, causal, deterministic, False,
+                rngs=rngs,
+            )
+            return (y,) + tree[1:]
+
+        dp = mesh.shape.get(DATA_AXIS, 1)
+        out = pipeline_apply(
+            scanned, stream, layer_fn, mesh,
+            batch_axis=DATA_AXIS if dp > 1 else None,
+            broadcast=broadcast,
+        )
+        return out[0]
 
 
 class Transformer(nn.Module):

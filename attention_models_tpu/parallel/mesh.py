@@ -17,6 +17,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 SEQ_AXIS = "seq"
+STAGE_AXIS = "stage"
 MODEL_AXIS = "model"
 
 
@@ -34,34 +35,43 @@ def create_mesh(
     data: int = -1,
     model: int = 1,
     seq: int = 1,
+    stage: int = 1,
     devices=None,
 ) -> Mesh:
-    """Create a ``(data, model)`` mesh — or ``(data, seq, model)`` when
+    """Create a ``(data, model)`` mesh — growing a ``seq`` axis when
     ``seq > 1`` (sequence/context parallelism: the token dim of activations
     shards over ``seq`` and attention runs the ring kernel,
-    ops/ring_attention.py). ``data=-1`` means "all remaining devices". The
-    mesh is always at least 2-D so train steps can be written once and run
+    ops/ring_attention.py) and a ``stage`` axis when ``stage > 1``
+    (pipeline parallelism: scan-stacked layers shard into contiguous
+    stages, parallel/pipeline.py). Axis order is
+    ``(data, stage, seq, model)`` — stage ring neighbours sit close on ICI.
+    ``data=-1`` means "all remaining devices". The mesh always carries the
+    ``data`` and ``model`` axes so train steps can be written once and run
     at any dp×tp split."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data == -1:
-        if n % (model * seq) != 0:
+        if n % (model * seq * stage) != 0:
             raise ValueError(
-                f"{n} devices not divisible by model*seq={model * seq}"
+                f"{n} devices not divisible by "
+                f"stage*seq*model={stage * seq * model}"
             )
-        data = n // (model * seq)
-    if data * model * seq != n:
-        raise ValueError(f"mesh {data}x{seq}x{model} != {n} devices")
-    auto = jax.sharding.AxisType.Auto
-    if seq > 1:
-        return jax.make_mesh(
-            (data, seq, model), (DATA_AXIS, SEQ_AXIS, MODEL_AXIS),
-            devices=devices, axis_types=(auto, auto, auto),
+        data = n // (model * seq * stage)
+    if data * model * seq * stage != n:
+        raise ValueError(
+            f"mesh {data}x{stage}x{seq}x{model} != {n} devices"
         )
+    dims = [(DATA_AXIS, data)]
+    if stage > 1:
+        dims.append((STAGE_AXIS, stage))
+    if seq > 1:
+        dims.append((SEQ_AXIS, seq))
+    dims.append((MODEL_AXIS, model))
+    auto = jax.sharding.AxisType.Auto
     # Auto axis types: let GSPMD propagate shardings through reshapes etc.
     return jax.make_mesh(
-        (data, model), (DATA_AXIS, MODEL_AXIS), devices=devices,
-        axis_types=(auto, auto),
+        tuple(s for _, s in dims), tuple(a for a, _ in dims),
+        devices=devices, axis_types=(auto,) * len(dims),
     )
 
 

@@ -14,6 +14,14 @@ The whole schedule is differentiable JAX (scan + ppermute inside shard_map):
 gradients flow back through the ring automatically, so a pipelined train
 step needs no custom VJP. Bubble fraction is the GPipe (S-1)/(T+S-1);
 pick n_microbatches >> stages to amortize.
+
+Trainer integration: ``training.pipeline_parallel: S`` puts a ``stage``
+axis of size S on the trainer mesh; scan-stacked Encoder/Decoder route
+their layer stack through :func:`pipeline_apply` whenever the ambient mesh
+has that axis sharded (models/transformer.py), and the stacked layer
+params (and their optimizer moments) are placed ``P('stage', ...)`` on the
+depth axis by parallel/sharding.py — each device holds only its own
+stage's weights.
 """
 
 from __future__ import annotations
@@ -25,14 +33,37 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-STAGE_AXIS = "stage"
+from attention_models_tpu.parallel.mesh import STAGE_AXIS
+
+
+def _tree_where(pred, a, b):
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def ambient_pp_mesh():
+    """The mesh of the enclosing ``jax.sharding.set_mesh`` scope, iff its
+    ``stage`` axis is sharded (pipeline parallelism). Scan-stacked
+    Encoder/Decoder call this at apply time to decide whether to route
+    their layer stack through :func:`pipeline_apply` — the same ambient-
+    mesh dispatch the attention layers use for TP/SP
+    (models/attention.py)."""
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+    except Exception:
+        return None
+    if mesh is None or mesh.empty:
+        return None
+    if mesh.shape.get(STAGE_AXIS, 1) <= 1:
+        return None
+    return mesh
 
 
 def _pipeline_local(
     stage_params: Any,  # pytree; leaves (L_local, ...) — this stage's layers
-    x: jnp.ndarray,  # (batch, ...) REPLICATED global input
+    x: Any,  # pytree of (batch, ...) arrays — streamed together
+    broadcast: Any,  # pytree of unbatched arrays handed to every layer call
     *,
-    layer_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    layer_fn: Callable[..., Any],
     axis_name: str,
     n_stages: int,
     n_microbatches: int,
@@ -40,12 +71,13 @@ def _pipeline_local(
     """Per-shard GPipe schedule (runs inside shard_map)."""
     stage_id = jax.lax.axis_index(axis_name)
     m = n_microbatches
-    mb = x.shape[0] // m
-    x_mb = x.reshape(m, mb, *x.shape[1:])
+    x_mb = jax.tree.map(
+        lambda a: a.reshape(m, a.shape[0] // m, *a.shape[1:]), x
+    )
 
     def apply_stage(carry_x):
         def one_layer(h, params_i):
-            return layer_fn(params_i, h), None
+            return layer_fn(params_i, h, broadcast), None
 
         out, _ = jax.lax.scan(one_layer, carry_x, stage_params)
         return out
@@ -57,58 +89,93 @@ def _pipeline_local(
         buf, outputs = carry
         # stage 0 ingests microbatch t (clamped; idle ticks compute garbage
         # that is never selected into the output)
-        feed = jax.lax.dynamic_index_in_dim(
-            x_mb, jnp.clip(t, 0, m - 1), axis=0, keepdims=False
+        t_in = jnp.clip(t, 0, m - 1)
+        feed = jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(
+                a, t_in, axis=0, keepdims=False
+            ),
+            x_mb,
         )
-        inp = jnp.where(stage_id == 0, feed, buf)
+        inp = _tree_where(stage_id == 0, feed, buf)
         out = apply_stage(inp)
         # the LAST stage finished microbatch (t - (S-1)) this tick
         done_idx = t - (n_stages - 1)
         is_done = jnp.logical_and(done_idx >= 0, stage_id == n_stages - 1)
-        outputs = jax.lax.dynamic_update_slice(
-            outputs,
-            jnp.where(is_done, out, jax.lax.dynamic_index_in_dim(
-                outputs, jnp.clip(done_idx, 0, m - 1), axis=0,
-                keepdims=False))[None],
-            (jnp.clip(done_idx, 0, m - 1),) + (0,) * out.ndim,
-        )
+        idx = jnp.clip(done_idx, 0, m - 1)
+
+        def store(buf_mb, o):
+            keep = jax.lax.dynamic_index_in_dim(
+                buf_mb, idx, axis=0, keepdims=False
+            )
+            return jax.lax.dynamic_update_slice(
+                buf_mb, jnp.where(is_done, o, keep)[None],
+                (idx,) + (0,) * o.ndim,
+            )
+
+        outputs = jax.tree.map(store, outputs, out)
         # ship activations to the next stage
-        buf = jax.lax.ppermute(out, axis_name, perm=perm)
+        buf = jax.tree.map(
+            lambda a: jax.lax.ppermute(a, axis_name, perm=perm), out
+        )
         return (buf, outputs), None
 
     init = (
-        jnp.zeros_like(x_mb[0]),
-        jnp.zeros_like(x_mb),
+        jax.tree.map(lambda a: jnp.zeros_like(a[0]), x_mb),
+        jax.tree.map(jnp.zeros_like, x_mb),
     )
     (buf, outputs), _ = jax.lax.scan(
         tick, init, jnp.arange(n_ticks, dtype=jnp.int32)
     )
     # outputs live on the last stage; zero elsewhere and psum -> replicated
-    outputs = jnp.where(stage_id == n_stages - 1, outputs, 0.0)
+    outputs = jax.tree.map(
+        lambda a: jnp.where(stage_id == n_stages - 1, a, 0.0), outputs
+    )
     outputs = jax.lax.psum(outputs, axis_name)
-    return outputs.reshape(x.shape)
+    # restore the original dtypes: bool/int stream leaves (masks) promote
+    # to float through the where(..., 0.0) + psum above
+    return jax.tree.map(
+        lambda a, ref: a.reshape(ref.shape).astype(ref.dtype), outputs, x
+    )
 
 
 def pipeline_apply(
     stacked_params: Any,  # pytree; leaves (L, ...) — scan-stacked layers
-    x: jnp.ndarray,  # (batch, ...)
-    layer_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    x: Any,  # pytree of (batch, ...) arrays streamed through the ring
+    layer_fn: Callable[..., Any],
     mesh: Mesh,
     *,
     axis_name: str = STAGE_AXIS,
     n_microbatches: int | None = None,
-) -> jnp.ndarray:
+    batch_axis: str | None = None,
+    broadcast: Any = (),
+) -> Any:
     """Run ``x`` through L scan-stacked layers pipelined over the mesh's
     ``axis_name`` axis: layer dim sharded into contiguous stages, batch dim
     split into microbatches streaming through the ring. Differentiable.
 
-    Requires L % n_stages == 0 and batch % n_microbatches == 0.
-    ``n_microbatches`` defaults to the batch size (finest granularity).
+    ``x`` may be a pytree (e.g. ``(hidden, context)`` for cross-attending
+    decoder layers) — every leaf is microbatched and streamed in lockstep;
+    ``layer_fn(params_i, x_tree, broadcast) -> x_tree`` must preserve the
+    structure. ``broadcast`` carries unbatched per-call constants (masks).
+    On a multi-axis mesh, name the batch-sharded axis via ``batch_axis``
+    (the schedule then runs per data shard); other mesh axes must not
+    shard anything inside (PP composes with DP, not with TP/SP for now).
+
+    Requires L % n_stages == 0 and the per-shard batch % n_microbatches
+    == 0. ``n_microbatches`` defaults to the per-shard batch size (finest
+    granularity).
     """
     n_stages = mesh.shape[axis_name]
-    m = int(n_microbatches) if n_microbatches else x.shape[0]
-    if x.shape[0] % m:
-        raise ValueError(f"batch {x.shape[0]} not divisible by {m} microbatches")
+    x_leaves = jax.tree.leaves(x)
+    if not x_leaves:
+        raise ValueError("pipeline_apply needs at least one streamed array")
+    dp = mesh.shape[batch_axis] if batch_axis else 1
+    local_batch = x_leaves[0].shape[0] // dp
+    m = int(n_microbatches) if n_microbatches else local_batch
+    if local_batch % m:
+        raise ValueError(
+            f"per-shard batch {local_batch} not divisible by {m} microbatches"
+        )
     leaves = jax.tree.leaves(stacked_params)
     if not leaves or leaves[0].shape[0] % n_stages:
         raise ValueError(
@@ -119,14 +186,16 @@ def pipeline_apply(
     param_specs = jax.tree.map(
         lambda leaf: P(axis_name, *([None] * (leaf.ndim - 1))), stacked_params
     )
+    x_specs = jax.tree.map(lambda leaf: P(batch_axis), x)
+    bc_specs = jax.tree.map(lambda leaf: P(), broadcast)
     fn = jax.shard_map(
         functools.partial(
             _pipeline_local, layer_fn=layer_fn, axis_name=axis_name,
             n_stages=n_stages, n_microbatches=m,
         ),
         mesh=mesh,
-        in_specs=(param_specs, P()),
-        out_specs=P(),
+        in_specs=(param_specs, x_specs, bc_specs),
+        out_specs=x_specs,
         check_vma=False,
     )
-    return fn(stacked_params, x)
+    return fn(stacked_params, x, broadcast)

@@ -22,7 +22,7 @@ from typing import Any, Sequence
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from attention_models_tpu.parallel.mesh import MODEL_AXIS
+from attention_models_tpu.parallel.mesh import MODEL_AXIS, STAGE_AXIS
 
 # (path regex, PartitionSpec). First match wins; no match -> replicated.
 # Paths look like "encoder/layers_0/self_attn/wq/kernel".
@@ -59,18 +59,36 @@ def param_shardings(
     """Return a pytree of NamedShardings matching ``params``' structure."""
     rules = DEFAULT_PARAM_RULES if rules is None else rules
     compiled = [(re.compile(rx), spec) for rx, spec in rules]
+    n_stages = mesh.shape.get(STAGE_AXIS, 1)
 
     def assign(path, leaf):
         ps = _path_str(path)
+        # Pipeline parallelism: scan-stacked layer params (path component
+        # "layers", leading depth axis) shard that axis over ``stage`` —
+        # each device holds only its own stage's weights and optimizer
+        # moments (parallel/pipeline.py runs exactly this placement).
+        staged = (
+            n_stages > 1
+            and "/layers/" in f"/{ps}"
+            and leaf.ndim >= 1
+            and leaf.shape[0] % n_stages == 0
+        )
         for rx, spec in compiled:
             if rx.match(ps):
                 # right-align the spec: extra LEADING dims (e.g. the depth
-                # axis of nn.scan-stacked layers) stay unsharded while the
-                # matmul dims keep their TP split
+                # axis of nn.scan-stacked layers) keep the stage split (or
+                # stay unsharded) while the matmul dims keep their TP split
                 if len(spec) < leaf.ndim:
-                    spec = P(*([None] * (leaf.ndim - len(spec))), *spec)
+                    lead = [None] * (leaf.ndim - len(spec))
+                    if staged:
+                        lead[0] = STAGE_AXIS
+                    spec = P(*lead, *spec)
                 if len(spec) == leaf.ndim and _divisible(leaf, spec, mesh):
                     return NamedSharding(mesh, spec)
+        if staged:
+            return NamedSharding(
+                mesh, P(STAGE_AXIS, *([None] * (leaf.ndim - 1)))
+            )
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(assign, params)

@@ -58,18 +58,32 @@ class BaseTrainer:
 
         tp = int(cfg.training.get("tensor_parallel", 1) or 1)
         sp = int(cfg.training.get("sequence_parallel", 1) or 1)
-        avail = len(jax.devices()) // (tp * sp)
+        pp = int(cfg.training.get("pipeline_parallel", 1) or 1)
+        if pp > 1:
+            if tp > 1 or sp > 1:
+                raise ValueError(
+                    "training.pipeline_parallel composes with data "
+                    "parallelism only (set tensor_parallel and "
+                    "sequence_parallel to 1)"
+                )
+            if not cfg.training.get("scan_layers", False):
+                raise ValueError(
+                    "training.pipeline_parallel requires "
+                    "training.scan_layers: true — the stage axis shards "
+                    "the scan-stacked layer stack"
+                )
+        avail = len(jax.devices()) // (tp * sp * pp)
         dp = math.gcd(self.batch_size, avail)  # data axis must divide batch
         if dp < avail:
             log.warning(
                 "batch_size=%d only divides %d of %d available data-parallel "
                 "devices — %d devices idle. Pick a batch size divisible by "
                 "the device count to use the full mesh.",
-                self.batch_size, dp, avail, (avail - dp) * tp * sp,
+                self.batch_size, dp, avail, (avail - dp) * tp * sp * pp,
             )
         self.mesh = create_mesh(
-            data=dp, model=tp, seq=sp,
-            devices=jax.devices()[: dp * tp * sp],
+            data=dp, model=tp, seq=sp, stage=pp,
+            devices=jax.devices()[: dp * tp * sp * pp],
         )
         # Ambient mesh for the whole trainer lifetime: attention dispatch
         # reads it from the trace context to run the Pallas flash kernel

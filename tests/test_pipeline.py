@@ -1,13 +1,19 @@
 """Pipeline parallelism (GPipe over the ``stage`` mesh axis) must compute
 exactly what the sequential layer scan computes — forward and gradients —
 with layers sharded into contiguous stages and microbatches streaming
-through the ppermute ring."""
+through the ppermute ring. Model-level: a scan-stacked Decoder routed
+through the pipeline (ambient mesh with a sharded stage axis) must match
+its own sequential-scan output, so ``training.pipeline_parallel`` is a
+pure placement knob."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
+from attention_models_tpu.parallel.mesh import create_mesh
 from attention_models_tpu.parallel.pipeline import pipeline_apply
+from attention_models_tpu.parallel.sharding import param_shardings
 
 
 def _setup(L=8, d=16, b=8, seed=0):
@@ -20,7 +26,7 @@ def _setup(L=8, d=16, b=8, seed=0):
     return params, x
 
 
-def _layer(p, h):
+def _layer(p, h, bc=()):
     return jnp.tanh(h @ p["w"] + p["b"])
 
 
@@ -62,9 +68,103 @@ def test_pipeline_gradients_match_sequential():
                                    atol=1e-5, rtol=1e-5)
 
 
-def test_pipeline_validations():
-    import pytest
+def test_pipeline_pytree_stream_broadcast_and_data_axis():
+    """The generalized schedule: a (hidden, context, bool-mask) stream
+    pytree microbatched in lockstep, an unbatched broadcast constant, and
+    the batch sharded over a ``data`` axis alongside ``stage``."""
+    mesh = create_mesh(data=2, stage=2, devices=jax.devices()[:4])
+    rs = np.random.RandomState(3)
+    L, d, b, tc = 4, 8, 8, 5
+    params = {
+        "w": jnp.array(rs.randn(L, d, d) / np.sqrt(d), jnp.float32),
+        "u": jnp.array(rs.randn(L, d, d) / np.sqrt(d), jnp.float32),
+    }
+    x = jnp.array(rs.randn(b, d), jnp.float32)
+    ctx = jnp.array(rs.randn(b, tc, d), jnp.float32)
+    keep = jnp.array(rs.rand(b, tc) > 0.3)  # bool leaf streams too
+    shift = jnp.array(rs.randn(d) * 0.1, jnp.float32)  # broadcast constant
 
+    def layer(p, tree, bc):
+        h, ctx, keep = tree
+        pooled = jnp.sum(
+            jnp.where(keep[..., None], ctx, 0.0), axis=1
+        ) / jnp.maximum(jnp.sum(keep, axis=1, keepdims=True), 1)
+        h = jnp.tanh(h @ p["w"] + pooled @ p["u"] + bc[0])
+        return (h, ctx, keep)
+
+    def seq(params, x):
+        def body(carry, p_i):
+            return layer(p_i, carry, (shift,)), None
+
+        out, _ = jax.lax.scan(body, (x, ctx, keep), params)
+        return out[0]
+
+    ref = seq(params, x)
+    got = pipeline_apply(
+        params, (x, ctx, keep), layer, mesh,
+        batch_axis="data", broadcast=(shift,), n_microbatches=2,
+    )
+    assert got[2].dtype == jnp.bool_  # dtype restored through psum
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_decoder_pipeline_matches_sequential_scan():
+    """End-to-end model routing: the same scan-created params produce the
+    same output (and input-gradients) whether the stacked layers run as a
+    sequential nn.scan (no ambient stage axis) or as a GPipe ring (ambient
+    mesh with stage=2, the trainer's `training.pipeline_parallel` path)."""
+    from attention_models_tpu.models.transformer import Decoder
+
+    b, t, tc, d = 4, 6, 5, 32
+    model = Decoder(dim=d, n_heads=2, d_head=16, depth=4, scan=True)
+    rs = np.random.RandomState(0)
+    x = jnp.array(rs.randn(b, t, d) * 0.1, jnp.float32)
+    ctx = jnp.array(rs.randn(b, tc, d) * 0.1, jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, ctx)
+
+    ref = model.apply(params, x, ctx, causal=True)
+    gref = jax.grad(
+        lambda x: jnp.sum(model.apply(params, x, ctx, causal=True) ** 2)
+    )(x)
+
+    mesh = create_mesh(data=2, stage=2, devices=jax.devices()[:4])
+    with jax.sharding.set_mesh(mesh):
+        got = model.apply(params, x, ctx, causal=True)
+        ggot = jax.grad(
+            lambda x: jnp.sum(model.apply(params, x, ctx, causal=True) ** 2)
+        )(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    # gradient of a squared-sum loss: reduction-order noise scales with the
+    # cotangent magnitude, so compare at 1e-3 relative
+    np.testing.assert_allclose(np.asarray(ggot), np.asarray(gref),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_stage_sharding_rules_split_stacked_layers():
+    """param_shardings on a stage-sharded mesh places scan-stacked layer
+    params (leading depth axis) P('stage', ...) so each device holds only
+    its own stage's weights; non-stacked params stay replicated."""
+    from attention_models_tpu.models.transformer import Encoder
+
+    mesh = create_mesh(data=2, stage=2, devices=jax.devices()[:4])
+    model = Encoder(dim=32, n_heads=2, d_head=16, depth=4, scan=True)
+    x = jnp.zeros((2, 6, 32), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    sh = param_shardings(params, mesh)
+    specs = {}
+    jax.tree_util.tree_map_with_path(
+        lambda p, s: specs.update({"/".join(str(k.key) for k in p): s.spec}),
+        sh,
+    )
+    wq = next(v for k, v in specs.items() if k.endswith("wq/kernel"))
+    assert wq[0] == "stage", specs
+    gamma = next(v for k, v in specs.items() if "norm1/gamma" in k)
+    assert gamma[0] == "stage", specs
+
+
+def test_pipeline_validations():
     mesh = jax.make_mesh((4,), ("stage",), axis_types=(jax.sharding.AxisType.Auto,))
     params, x = _setup(L=6)  # 6 layers not divisible by 4 stages
     with pytest.raises(ValueError, match="not divisible"):
