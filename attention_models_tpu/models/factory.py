@@ -131,6 +131,7 @@ def build_model(cfg):
             clip_heads=e.get("heads", 12),
             remat=bool(cfg.training.get("remat", False)),
             scan_layers=bool(cfg.training.get("scan_layers", False)),
+            pp_microbatches=cfg.training.get("pipeline_microbatches"),
             dtype=dtype,
         ), patches
 
@@ -152,6 +153,7 @@ def build_model(cfg):
             dropout=cfg.model.dropout,
             remat=bool(cfg.training.get("remat", False)),
             scan_layers=bool(cfg.training.get("scan_layers", False)),
+            pp_microbatches=cfg.training.get("pipeline_microbatches"),
             dtype=dtype,
         ), patches
 
@@ -174,6 +176,7 @@ def build_model(cfg):
             clip_layers=e.get("layers", 12),
             clip_heads=e.get("heads", 12),
             scan_layers=bool(cfg.training.get("scan_layers", False)),
+            pp_microbatches=cfg.training.get("pipeline_microbatches"),
             dtype=dtype,
         ), patches
 

@@ -56,6 +56,7 @@ class BiDirectionalTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     scan_layers: bool = False
+    pp_microbatches: int | None = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -72,7 +73,8 @@ class BiDirectionalTransformer(nn.Module):
         h = Encoder(
             self.dim, self.n_heads, self.d_head, self.dec_depth, self.mult,
             self.dropout, dtype=self.dtype, remat=self.remat,
-            scan=self.scan_layers, name="decoder",
+            scan=self.scan_layers, pp_microbatches=self.pp_microbatches,
+            name="decoder",
         )(h, deterministic=deterministic)
         h = GammaLayerNorm(self.dim, dtype=self.dtype, name="final_norm")(h)
         return nn.Dense(
@@ -93,6 +95,7 @@ class MaskGitTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     scan_layers: bool = False
+    pp_microbatches: int | None = None
 
     def setup(self):
         self.vq = build_vq(self.vq_config, dtype=self.dtype)
@@ -103,6 +106,7 @@ class MaskGitTransformer(nn.Module):
             n_heads=self.n_heads, d_head=self.d_head,
             dec_depth=self.dec_depth, mult=self.mult, dropout=self.dropout,
             dtype=self.dtype, remat=self.remat, scan_layers=self.scan_layers,
+            pp_microbatches=self.pp_microbatches,
         )
 
     def init_all(self, imgs, rng: jax.Array):

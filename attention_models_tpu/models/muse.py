@@ -56,6 +56,7 @@ class BidirectionalDecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     scan_layers: bool = False
+    pp_microbatches: int | None = None
 
     @nn.compact
     def __call__(self, indices, context, context_mask=None,
@@ -72,7 +73,8 @@ class BidirectionalDecoder(nn.Module):
         x = Decoder(
             self.dim, self.n_heads, self.d_head, self.depth, self.mult,
             self.dropout, dtype=self.dtype, remat=self.remat,
-            scan=self.scan_layers, name="decoder",
+            scan=self.scan_layers, pp_microbatches=self.pp_microbatches,
+            name="decoder",
         )(x, context, context_mask=context_mask, deterministic=deterministic)
         x = GammaLayerNorm(self.dim, dtype=self.dtype, name="final_norm")(x)
         return nn.Dense(
@@ -98,6 +100,7 @@ class MUSE(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False  # rematerialize decoder blocks (trade FLOPs for HBM)
     scan_layers: bool = False  # nn.scan the decoder stack (compile time)
+    pp_microbatches: int | None = None  # GPipe microbatch count override
 
     def setup(self):
         self.text_encoder = TextEncoder(
@@ -113,6 +116,7 @@ class MUSE(nn.Module):
             self.depth, self.mult, self.dropout,
             vq_num_patches(self.vq_config),
             dtype=self.dtype, remat=self.remat, scan_layers=self.scan_layers,
+            pp_microbatches=self.pp_microbatches,
         )
 
     def encode_texts(self, text_ids):

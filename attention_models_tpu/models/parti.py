@@ -43,6 +43,7 @@ class Parti(nn.Module):
     clip_heads: int = 12
     dtype: jnp.dtype = jnp.float32
     scan_layers: bool = False
+    pp_microbatches: int | None = None
 
     def setup(self):
         self.vq = build_vq(self.vq_config, dtype=self.dtype)
@@ -63,6 +64,7 @@ class Parti(nn.Module):
         self.transformer_decoder = Decoder(
             self.dim, self.n_heads, self.d_head, self.depth, dtype=self.dtype,
             max_decode_len=self.num_patches, scan=self.scan_layers,
+            pp_microbatches=self.pp_microbatches,
         )
         self.init_norm = LayerNorm(self.dim, dtype=self.dtype)
         self.final_norm = LayerNorm(self.dim, dtype=self.dtype)

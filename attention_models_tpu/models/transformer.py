@@ -72,6 +72,7 @@ class Encoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     scan: bool = False
+    pp_microbatches: int | None = None  # GPipe microbatch count override
 
     @nn.compact
     def __call__(self, x, context_mask=None, deterministic: bool = True):
@@ -147,6 +148,7 @@ class Encoder(nn.Module):
         out = pipeline_apply(
             scanned, stream, layer_fn, mesh,
             batch_axis=DATA_AXIS if dp > 1 else None,
+            n_microbatches=self.pp_microbatches,
         )
         return out[0]
 
@@ -197,6 +199,7 @@ class Decoder(nn.Module):
     remat: bool = False
     max_decode_len: int | None = None
     scan: bool = False
+    pp_microbatches: int | None = None  # GPipe microbatch count override
 
     @nn.compact
     def __call__(
@@ -287,6 +290,7 @@ class Decoder(nn.Module):
             scanned, stream, layer_fn, mesh,
             batch_axis=DATA_AXIS if dp > 1 else None,
             broadcast=broadcast,
+            n_microbatches=self.pp_microbatches,
         )
         return out[0]
 

@@ -36,6 +36,15 @@ from jax.sharding import Mesh, PartitionSpec as P
 from attention_models_tpu.parallel.mesh import STAGE_AXIS
 
 
+def _default_microbatches(local_batch: int, n_stages: int) -> int:
+    """Smallest divisor of ``local_batch`` >= min(local_batch, 4*S)."""
+    target = min(local_batch, 4 * n_stages)
+    for m in range(target, local_batch + 1):
+        if local_batch % m == 0:
+            return m
+    return max(local_batch, 1)
+
+
 def _tree_where(pred, a, b):
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
@@ -162,8 +171,10 @@ def pipeline_apply(
     shard anything inside (PP composes with DP, not with TP/SP for now).
 
     Requires L % n_stages == 0 and the per-shard batch % n_microbatches
-    == 0. ``n_microbatches`` defaults to the per-shard batch size (finest
-    granularity).
+    == 0. ``n_microbatches`` defaults to ~4x the stage count (the GPipe
+    sweet spot: bubble (S-1)/(m+S-1) ≈ 20% while microbatches stay large
+    enough to fill the MXU), rounded up to a divisor of the per-shard
+    batch.
     """
     n_stages = mesh.shape[axis_name]
     x_leaves = jax.tree.leaves(x)
@@ -171,7 +182,9 @@ def pipeline_apply(
         raise ValueError("pipeline_apply needs at least one streamed array")
     dp = mesh.shape[batch_axis] if batch_axis else 1
     local_batch = x_leaves[0].shape[0] // dp
-    m = int(n_microbatches) if n_microbatches else local_batch
+    m = int(n_microbatches) if n_microbatches else _default_microbatches(
+        local_batch, n_stages
+    )
     if local_batch % m:
         raise ValueError(
             f"per-shard batch {local_batch} not divisible by {m} microbatches"

@@ -117,7 +117,10 @@ def test_decoder_pipeline_matches_sequential_scan():
     from attention_models_tpu.models.transformer import Decoder
 
     b, t, tc, d = 4, 6, 5, 32
-    model = Decoder(dim=d, n_heads=2, d_head=16, depth=4, scan=True)
+    # pp_microbatches exercises the model-level knob (training.
+    # pipeline_microbatches); per-shard batch is 4/2=2, so m=2 is valid
+    model = Decoder(dim=d, n_heads=2, d_head=16, depth=4, scan=True,
+                    pp_microbatches=2)
     rs = np.random.RandomState(0)
     x = jnp.array(rs.randn(b, t, d) * 0.1, jnp.float32)
     ctx = jnp.array(rs.randn(b, tc, d) * 0.1, jnp.float32)
@@ -162,6 +165,19 @@ def test_stage_sharding_rules_split_stacked_layers():
     assert wq[0] == "stage", specs
     gamma = next(v for k, v in specs.items() if "norm1/gamma" in k)
     assert gamma[0] == "stage", specs
+
+
+def test_default_microbatch_heuristic():
+    """Default m = smallest divisor of the per-shard batch >= min(batch,
+    4*stages): ~20% GPipe bubble while microbatches stay MXU-sized."""
+    from attention_models_tpu.parallel.pipeline import _default_microbatches
+
+    assert _default_microbatches(256, 4) == 16
+    assert _default_microbatches(64, 2) == 8
+    assert _default_microbatches(6, 2) == 6   # smallest divisor >= 6 is 6
+    assert _default_microbatches(8, 2) == 8
+    assert _default_microbatches(1, 4) == 1
+    assert _default_microbatches(96, 4) == 16  # 16 divides 96
 
 
 def test_pipeline_validations():

@@ -359,12 +359,28 @@ def test_trainer_pipeline_parallel(tmp_path):
     (tmp_path / "dp").mkdir()
     common = {
         "model.depth": 2,
+        # 4 real examples: the loader must yield FULL batches of 4, else
+        # shard_batch replicates the ragged batch and _pp_usable falls
+        # back to the sequential scan (batch % dp != 0)
+        "experiment.max_train_examples": 4,
         "dataset.params.batch_size": 4,
         "training.scan_layers": True,
         "training.num_epochs": 2,
     }
-    trainer, _ = _run("maskgit_overfit.yaml", tmp_path / "pp",
-                      **{**common, "training.pipeline_parallel": 2})
+    # prove the GPipe path actually runs (not the nn.scan fallback)
+    import attention_models_tpu.models.transformer as tfm
+
+    pp_calls = []
+    real_pipeline_apply = tfm.pipeline_apply
+    tfm.pipeline_apply = (
+        lambda *a, **k: (pp_calls.append(1), real_pipeline_apply(*a, **k))[1]
+    )
+    try:
+        trainer, _ = _run("maskgit_overfit.yaml", tmp_path / "pp",
+                          **{**common, "training.pipeline_parallel": 2})
+    finally:
+        tfm.pipeline_apply = real_pipeline_apply
+    assert pp_calls, "stacked layers never routed through pipeline_apply"
     assert dict(trainer.mesh.shape) == {"data": 4, "stage": 2, "model": 1}
 
     def stacked_layers(tree):
