@@ -119,8 +119,9 @@ class Encoder(nn.Module):
     def _pp_forward(self, layer_cls, x, context_mask, deterministic, mesh):
         """GPipe forward over the ``stage`` mesh axis: each device applies
         its contiguous depth/S slice of the scan-stacked params; the mask
-        streams with its microbatch; per-layer dropout rngs ride in the
-        scanned pytree so stochastic training still works."""
+        is a per-microbatch constant each stage indexes locally; per-layer
+        dropout rngs ride in the scanned pytree so stochastic training
+        still works."""
         layer = layer_cls(
             self.dim, self.n_heads, self.d_head, self.mult, self.dropout,
             dtype=self.dtype,
@@ -133,24 +134,22 @@ class Encoder(nn.Module):
             scanned["rng"] = jax.random.split(
                 self.make_rng("dropout"), self.depth
             )
-        stream = (x,) if context_mask is None else (x, context_mask)
+        per_mb = () if context_mask is None else (context_mask,)
 
-        def layer_fn(p, tree, bc):
+        def layer_fn(p, h, per, bc):
             rngs = {"dropout": p["rng"]} if "rng" in p else None
-            mask = tree[1] if len(tree) > 1 else None
-            y = layer.apply(
-                {"params": p["params"]}, tree[0], mask, deterministic,
-                rngs=rngs,
+            return layer.apply(
+                {"params": p["params"]}, h, per[0] if per else None,
+                deterministic, rngs=rngs,
             )
-            return (y,) + tree[1:]
 
         dp = mesh.shape.get(DATA_AXIS, 1)
-        out = pipeline_apply(
-            scanned, stream, layer_fn, mesh,
+        return pipeline_apply(
+            scanned, x, layer_fn, mesh,
             batch_axis=DATA_AXIS if dp > 1 else None,
+            per_mb=per_mb,
             n_microbatches=self.pp_microbatches,
         )
-        return out[0]
 
 
 class DecoderLayer(nn.Module):
@@ -256,8 +255,9 @@ class Decoder(nn.Module):
         deterministic, mesh,
     ):
         """GPipe forward (see Encoder._pp_forward). The cross-attention
-        context and its mask stream with each microbatch (they are batched);
-        the causal mask is an unbatched broadcast constant."""
+        context and its mask are per-microbatch constants (stage-replicated,
+        indexed locally — only the hidden stream rides the ring); the causal
+        mask is an unbatched broadcast constant."""
         layer = layer_cls(
             self.dim, self.n_heads, self.d_head, self.mult, self.dropout,
             dtype=self.dtype, max_decode_len=self.max_decode_len,
@@ -270,29 +270,28 @@ class Decoder(nn.Module):
             scanned["rng"] = jax.random.split(
                 self.make_rng("dropout"), self.depth
             )
-        stream = (x, context)
+        per_mb = (context,)
         if context_mask is not None:
-            stream = stream + (context_mask,)
+            per_mb = per_mb + (context_mask,)
         broadcast = () if causal_mask is None else (causal_mask,)
 
-        def layer_fn(p, tree, bc):
+        def layer_fn(p, h, per, bc):
             rngs = {"dropout": p["rng"]} if "rng" in p else None
-            mask = tree[2] if len(tree) > 2 else None
-            y = layer.apply(
-                {"params": p["params"]}, tree[0], tree[1], mask,
+            mask = per[1] if len(per) > 1 else None
+            return layer.apply(
+                {"params": p["params"]}, h, per[0], mask,
                 bc[0] if bc else None, causal, deterministic, False,
                 rngs=rngs,
             )
-            return (y,) + tree[1:]
 
         dp = mesh.shape.get(DATA_AXIS, 1)
-        out = pipeline_apply(
-            scanned, stream, layer_fn, mesh,
+        return pipeline_apply(
+            scanned, x, layer_fn, mesh,
             batch_axis=DATA_AXIS if dp > 1 else None,
+            per_mb=per_mb,
             broadcast=broadcast,
             n_microbatches=self.pp_microbatches,
         )
-        return out[0]
 
 
 class Transformer(nn.Module):

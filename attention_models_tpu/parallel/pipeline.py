@@ -70,6 +70,7 @@ def ambient_pp_mesh():
 def _pipeline_local(
     stage_params: Any,  # pytree; leaves (L_local, ...) — this stage's layers
     x: Any,  # pytree of (batch, ...) arrays — streamed together
+    per_mb: Any,  # pytree of (batch, ...) constants indexed per microbatch
     broadcast: Any,  # pytree of unbatched arrays handed to every layer call
     *,
     layer_fn: Callable[..., Any],
@@ -80,13 +81,18 @@ def _pipeline_local(
     """Per-shard GPipe schedule (runs inside shard_map)."""
     stage_id = jax.lax.axis_index(axis_name)
     m = n_microbatches
-    x_mb = jax.tree.map(
-        lambda a: a.reshape(m, a.shape[0] // m, *a.shape[1:]), x
-    )
 
-    def apply_stage(carry_x):
+    def _to_mb(tree):
+        return jax.tree.map(
+            lambda a: a.reshape(m, a.shape[0] // m, *a.shape[1:]), tree
+        )
+
+    x_mb = _to_mb(x)
+    per_mb_mb = _to_mb(per_mb)
+
+    def apply_stage(carry_x, consts):
         def one_layer(h, params_i):
-            return layer_fn(params_i, h, broadcast), None
+            return layer_fn(params_i, h, consts, broadcast), None
 
         out, _ = jax.lax.scan(one_layer, carry_x, stage_params)
         return out
@@ -106,7 +112,17 @@ def _pipeline_local(
             x_mb,
         )
         inp = _tree_where(stage_id == 0, feed, buf)
-        out = apply_stage(inp)
+        # stage s works on microbatch (t - s): pull its per-microbatch
+        # constants (cross-attn context, masks) from the stage-replicated
+        # input instead of shipping them around the ring with the carry
+        c_idx = jnp.clip(t - stage_id, 0, m - 1)
+        consts = jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(
+                a, c_idx, axis=0, keepdims=False
+            ),
+            per_mb_mb,
+        )
+        out = apply_stage(inp, consts)
         # the LAST stage finished microbatch (t - (S-1)) this tick
         done_idx = t - (n_stages - 1)
         is_done = jnp.logical_and(done_idx >= 0, stage_id == n_stages - 1)
@@ -156,16 +172,20 @@ def pipeline_apply(
     axis_name: str = STAGE_AXIS,
     n_microbatches: int | None = None,
     batch_axis: str | None = None,
+    per_mb: Any = (),
     broadcast: Any = (),
 ) -> Any:
     """Run ``x`` through L scan-stacked layers pipelined over the mesh's
     ``axis_name`` axis: layer dim sharded into contiguous stages, batch dim
     split into microbatches streaming through the ring. Differentiable.
 
-    ``x`` may be a pytree (e.g. ``(hidden, context)`` for cross-attending
-    decoder layers) — every leaf is microbatched and streamed in lockstep;
-    ``layer_fn(params_i, x_tree, broadcast) -> x_tree`` must preserve the
-    structure. ``broadcast`` carries unbatched per-call constants (masks).
+    ``x`` may be a pytree — every leaf is microbatched and streamed in
+    lockstep; ``layer_fn(params_i, x_tree, per_mb_tree, broadcast) ->
+    x_tree`` must preserve its structure. Batched values the layers read
+    but don't rewrite (cross-attn context, padding masks) go in ``per_mb``:
+    they stay stage-replicated and each stage indexes its current
+    microbatch's slice locally — no ring traffic, no output psum for them.
+    ``broadcast`` carries unbatched per-call constants (causal masks).
     On a multi-axis mesh, name the batch-sharded axis via ``batch_axis``
     (the schedule then runs per data shard); other mesh axes must not
     shard anything inside (PP composes with DP, not with TP/SP for now).
@@ -200,6 +220,7 @@ def pipeline_apply(
         lambda leaf: P(axis_name, *([None] * (leaf.ndim - 1))), stacked_params
     )
     x_specs = jax.tree.map(lambda leaf: P(batch_axis), x)
+    per_mb_specs = jax.tree.map(lambda leaf: P(batch_axis), per_mb)
     bc_specs = jax.tree.map(lambda leaf: P(), broadcast)
     fn = jax.shard_map(
         functools.partial(
@@ -207,8 +228,8 @@ def pipeline_apply(
             n_stages=n_stages, n_microbatches=m,
         ),
         mesh=mesh,
-        in_specs=(param_specs, x_specs, bc_specs),
+        in_specs=(param_specs, x_specs, per_mb_specs, bc_specs),
         out_specs=x_specs,
         check_vma=False,
     )
-    return fn(stacked_params, x, broadcast)
+    return fn(stacked_params, x, per_mb, broadcast)

@@ -26,7 +26,7 @@ def _setup(L=8, d=16, b=8, seed=0):
     return params, x
 
 
-def _layer(p, h, bc=()):
+def _layer(p, h, per=(), bc=()):
     return jnp.tanh(h @ p["w"] + p["b"])
 
 
@@ -68,10 +68,11 @@ def test_pipeline_gradients_match_sequential():
                                    atol=1e-5, rtol=1e-5)
 
 
-def test_pipeline_pytree_stream_broadcast_and_data_axis():
-    """The generalized schedule: a (hidden, context, bool-mask) stream
-    pytree microbatched in lockstep, an unbatched broadcast constant, and
-    the batch sharded over a ``data`` axis alongside ``stage``."""
+def test_pipeline_per_mb_broadcast_and_data_axis():
+    """The generalized schedule: hidden streamed through the ring, context
+    and a bool mask as stage-local per-microbatch constants, an unbatched
+    broadcast constant, and the batch sharded over a ``data`` axis
+    alongside ``stage``."""
     mesh = create_mesh(data=2, stage=2, devices=jax.devices()[:4])
     rs = np.random.RandomState(3)
     L, d, b, tc = 4, 8, 8, 5
@@ -84,28 +85,37 @@ def test_pipeline_pytree_stream_broadcast_and_data_axis():
     keep = jnp.array(rs.rand(b, tc) > 0.3)  # bool leaf streams too
     shift = jnp.array(rs.randn(d) * 0.1, jnp.float32)  # broadcast constant
 
-    def layer(p, tree, bc):
-        h, ctx, keep = tree
+    def layer(p, h, per, bc):
+        ctx, keep = per
         pooled = jnp.sum(
             jnp.where(keep[..., None], ctx, 0.0), axis=1
         ) / jnp.maximum(jnp.sum(keep, axis=1, keepdims=True), 1)
-        h = jnp.tanh(h @ p["w"] + pooled @ p["u"] + bc[0])
-        return (h, ctx, keep)
+        return jnp.tanh(h @ p["w"] + pooled @ p["u"] + bc[0])
 
     def seq(params, x):
         def body(carry, p_i):
-            return layer(p_i, carry, (shift,)), None
+            return layer(p_i, carry, (ctx, keep), (shift,)), None
 
-        out, _ = jax.lax.scan(body, (x, ctx, keep), params)
-        return out[0]
+        out, _ = jax.lax.scan(body, x, params)
+        return out
 
     ref = seq(params, x)
     got = pipeline_apply(
-        params, (x, ctx, keep), layer, mesh,
-        batch_axis="data", broadcast=(shift,), n_microbatches=2,
+        params, x, layer, mesh,
+        batch_axis="data", per_mb=(ctx, keep), broadcast=(shift,),
+        n_microbatches=2,
     )
-    assert got[2].dtype == jnp.bool_  # dtype restored through psum
-    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref),
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    # gradients flow into per-microbatch constants too (psum transpose)
+    gp = jax.grad(lambda c: jnp.sum(pipeline_apply(
+        params, x, layer, mesh, batch_axis="data", per_mb=(c, keep),
+        broadcast=(shift,), n_microbatches=2)))(ctx)
+    gs = jax.grad(lambda c: jnp.sum(jax.lax.scan(
+        lambda carry, p_i: (layer(p_i, carry, (c, keep), (shift,)), None),
+        x, params)[0]))(ctx)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gs),
                                atol=1e-5, rtol=1e-5)
 
 
