@@ -18,7 +18,12 @@ from attention_models_tpu.ops.flash_attention import flash_attention, flash_supp
 from attention_models_tpu.ops.moe import _combine_weights, moe_linear_scatter, topk_gate
 
 
-from attention_models_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS
+from attention_models_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    SEQ_AXIS,
+    ambient_mesh_if_sharded,
+)
 
 
 def _ambient_sp_mesh():
@@ -26,33 +31,15 @@ def _ambient_sp_mesh():
     parallelism): attention then runs the ring kernel with the token dim
     partitioned over the ring, and GSPMD keeps the surrounding pointwise ops
     (LN, FFN) sharded over the same axis."""
-    try:
-        mesh = jax.sharding.get_abstract_mesh()
-    except Exception:
-        return None
-    if mesh is None or mesh.empty:
-        return None
-    if mesh.shape.get(SEQ_AXIS, 1) <= 1:
-        return None
-    return mesh
+    return ambient_mesh_if_sharded(SEQ_AXIS)
 
 
 def _ambient_tp_mesh():
-    """The mesh of the enclosing ``jax.sharding.set_mesh`` scope, iff its
-    model axis is sharded (tensor parallelism). Trainers set the ambient
-    mesh once at construction; standalone model use has no ambient mesh and
-    dispatches to the plain kernel / GSPMD-partitioned XLA path. This
-    replaces a mutable module global — the mesh is read from the trace
-    context, so nothing needs to be flipped on or off."""
-    try:
-        mesh = jax.sharding.get_abstract_mesh()
-    except Exception:
-        return None
-    if mesh is None or mesh.empty:
-        return None
-    if mesh.shape.get(MODEL_AXIS, 1) <= 1:
-        return None
-    return mesh
+    """The ambient mesh iff its ``model`` axis is sharded (tensor
+    parallelism) — attention then runs the flash kernel per-shard with
+    heads over ``model``. This replaces a mutable module global: the mesh
+    is read from the trace context, nothing is flipped on or off."""
+    return ambient_mesh_if_sharded(MODEL_AXIS)
 
 
 def _tp_shardable(q, k, mesh):

@@ -23,17 +23,20 @@ from attention_models_tpu.parallel.mesh import DATA_AXIS, STAGE_AXIS
 from attention_models_tpu.parallel.pipeline import ambient_pp_mesh, pipeline_apply
 
 
-def _pp_usable(mesh, depth: int, batch: int) -> bool:
+def _pp_usable(
+    mesh, depth: int, batch: int, n_microbatches: int | None = None
+) -> bool:
     """Pipeline the scan-stacked layers iff the depth splits evenly into
-    stages and the per-data-shard batch exists (microbatching needs it)."""
+    stages and the per-data-shard batch exists and splits into the
+    requested microbatch count (a sampling/eval batch smaller than the
+    train batch falls back to the sequential scan instead of crashing)."""
     stages = mesh.shape.get(STAGE_AXIS, 1)
     dp = mesh.shape.get(DATA_AXIS, 1)
-    return (
-        stages > 1
-        and depth % stages == 0
-        and batch % dp == 0
-        and batch // dp >= 1
-    )
+    if stages <= 1 or depth % stages or batch % dp or batch < dp:
+        return False
+    if n_microbatches and (batch // dp) % int(n_microbatches):
+        return False
+    return True
 
 
 class EncoderLayer(nn.Module):
@@ -86,7 +89,7 @@ class Encoder(nn.Module):
             if not self.is_initializing():
                 pp_mesh = ambient_pp_mesh()
                 if pp_mesh is not None and _pp_usable(
-                    pp_mesh, self.depth, x.shape[0]
+                    pp_mesh, self.depth, x.shape[0], self.pp_microbatches
                 ):
                     return self._pp_forward(
                         layer_cls, x, context_mask, deterministic, pp_mesh
@@ -135,15 +138,24 @@ class Encoder(nn.Module):
                 self.make_rng("dropout"), self.depth
             )
         per_mb = () if context_mask is None else (context_mask,)
+        dp = mesh.shape.get(DATA_AXIS, 1)
 
-        def layer_fn(p, h, per, bc):
-            rngs = {"dropout": p["rng"]} if "rng" in p else None
+        def layer_fn(p, h, per, bc, mb_idx):
+            rngs = None
+            if "rng" in p:
+                # distinct masks per microbatch and per data shard (one key
+                # per layer would repeat the same mask across microbatches)
+                key = jax.random.fold_in(p["rng"], mb_idx)
+                if dp > 1:
+                    key = jax.random.fold_in(
+                        key, jax.lax.axis_index(DATA_AXIS)
+                    )
+                rngs = {"dropout": key}
             return layer.apply(
                 {"params": p["params"]}, h, per[0] if per else None,
                 deterministic, rngs=rngs,
             )
 
-        dp = mesh.shape.get(DATA_AXIS, 1)
         return pipeline_apply(
             scanned, x, layer_fn, mesh,
             batch_axis=DATA_AXIS if dp > 1 else None,
@@ -213,7 +225,7 @@ class Decoder(nn.Module):
             if not self.is_initializing() and not decode:
                 pp_mesh = ambient_pp_mesh()
                 if pp_mesh is not None and _pp_usable(
-                    pp_mesh, self.depth, x.shape[0]
+                    pp_mesh, self.depth, x.shape[0], self.pp_microbatches
                 ):
                     return self._pp_forward(
                         layer_cls, x, context, context_mask, causal_mask,
@@ -274,9 +286,19 @@ class Decoder(nn.Module):
         if context_mask is not None:
             per_mb = per_mb + (context_mask,)
         broadcast = () if causal_mask is None else (causal_mask,)
+        dp = mesh.shape.get(DATA_AXIS, 1)
 
-        def layer_fn(p, h, per, bc):
-            rngs = {"dropout": p["rng"]} if "rng" in p else None
+        def layer_fn(p, h, per, bc, mb_idx):
+            rngs = None
+            if "rng" in p:
+                # distinct masks per microbatch and per data shard (one key
+                # per layer would repeat the same mask across microbatches)
+                key = jax.random.fold_in(p["rng"], mb_idx)
+                if dp > 1:
+                    key = jax.random.fold_in(
+                        key, jax.lax.axis_index(DATA_AXIS)
+                    )
+                rngs = {"dropout": key}
             mask = per[1] if len(per) > 1 else None
             return layer.apply(
                 {"params": p["params"]}, h, per[0], mask,
@@ -284,7 +306,6 @@ class Decoder(nn.Module):
                 rngs=rngs,
             )
 
-        dp = mesh.shape.get(DATA_AXIS, 1)
         return pipeline_apply(
             scanned, x, layer_fn, mesh,
             batch_axis=DATA_AXIS if dp > 1 else None,

@@ -75,6 +75,24 @@ def create_mesh(
     )
 
 
+def ambient_mesh_if_sharded(axis: str):
+    """The mesh of the enclosing ``jax.sharding.set_mesh`` scope, iff its
+    ``axis`` is sharded (size > 1) — else None. Trainers set the ambient
+    mesh once at construction; model code reads it from the trace context
+    to decide whether to dispatch to a sharded kernel (TP/SP attention,
+    the GPipe layer pipeline). Standalone model use has no ambient mesh
+    and takes the single-chip paths."""
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+    except Exception:
+        return None
+    if mesh is None or mesh.empty:
+        return None
+    if mesh.shape.get(axis, 1) <= 1:
+        return None
+    return mesh
+
+
 def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis, replicate the rest."""
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))

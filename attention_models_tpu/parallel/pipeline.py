@@ -37,12 +37,14 @@ from attention_models_tpu.parallel.mesh import STAGE_AXIS
 
 
 def _default_microbatches(local_batch: int, n_stages: int) -> int:
-    """Smallest divisor of ``local_batch`` >= min(local_batch, 4*S)."""
+    """Smallest divisor of ``local_batch`` >= min(local_batch, 4*S).
+    (``local_batch >= 1`` is validated by pipeline_apply; the loop always
+    terminates since local_batch divides itself.)"""
     target = min(local_batch, 4 * n_stages)
     for m in range(target, local_batch + 1):
         if local_batch % m == 0:
             return m
-    return max(local_batch, 1)
+    raise AssertionError("unreachable: local_batch divides itself")
 
 
 def _tree_where(pred, a, b):
@@ -56,15 +58,9 @@ def ambient_pp_mesh():
     their layer stack through :func:`pipeline_apply` — the same ambient-
     mesh dispatch the attention layers use for TP/SP
     (models/attention.py)."""
-    try:
-        mesh = jax.sharding.get_abstract_mesh()
-    except Exception:
-        return None
-    if mesh is None or mesh.empty:
-        return None
-    if mesh.shape.get(STAGE_AXIS, 1) <= 1:
-        return None
-    return mesh
+    from attention_models_tpu.parallel.mesh import ambient_mesh_if_sharded
+
+    return ambient_mesh_if_sharded(STAGE_AXIS)
 
 
 def _pipeline_local(
@@ -90,9 +86,9 @@ def _pipeline_local(
     x_mb = _to_mb(x)
     per_mb_mb = _to_mb(per_mb)
 
-    def apply_stage(carry_x, consts):
+    def apply_stage(carry_x, consts, mb_idx):
         def one_layer(h, params_i):
-            return layer_fn(params_i, h, consts, broadcast), None
+            return layer_fn(params_i, h, consts, broadcast, mb_idx), None
 
         out, _ = jax.lax.scan(one_layer, carry_x, stage_params)
         return out
@@ -122,7 +118,9 @@ def _pipeline_local(
             ),
             per_mb_mb,
         )
-        out = apply_stage(inp, consts)
+        # c_idx is also handed to layer_fn so callers can derive
+        # per-microbatch randomness (e.g. fold it into dropout keys)
+        out = apply_stage(inp, consts, c_idx)
         # the LAST stage finished microbatch (t - (S-1)) this tick
         done_idx = t - (n_stages - 1)
         is_done = jnp.logical_and(done_idx >= 0, stage_id == n_stages - 1)
@@ -151,16 +149,18 @@ def _pipeline_local(
     (buf, outputs), _ = jax.lax.scan(
         tick, init, jnp.arange(n_ticks, dtype=jnp.int32)
     )
-    # outputs live on the last stage; zero elsewhere and psum -> replicated
-    outputs = jax.tree.map(
-        lambda a: jnp.where(stage_id == n_stages - 1, a, 0.0), outputs
-    )
-    outputs = jax.lax.psum(outputs, axis_name)
-    # restore the original dtypes: bool/int stream leaves (masks) promote
-    # to float through the where(..., 0.0) + psum above
-    return jax.tree.map(
-        lambda a, ref: a.reshape(ref.shape).astype(ref.dtype), outputs, x
-    )
+    # outputs live on the last stage; zero elsewhere and psum -> replicated.
+    # Reductions run in each leaf's own dtype (ints stay exact); bool goes
+    # through int32 since psum has no boolean reduction.
+    def _gather(a, ref):
+        a = jnp.where(stage_id == n_stages - 1, a, jnp.zeros_like(a))
+        if a.dtype == jnp.bool_:
+            a = jax.lax.psum(a.astype(jnp.int32), axis_name)
+        else:
+            a = jax.lax.psum(a, axis_name)
+        return a.reshape(ref.shape).astype(ref.dtype)
+
+    return jax.tree.map(_gather, outputs, x)
 
 
 def pipeline_apply(
@@ -180,8 +180,10 @@ def pipeline_apply(
     split into microbatches streaming through the ring. Differentiable.
 
     ``x`` may be a pytree — every leaf is microbatched and streamed in
-    lockstep; ``layer_fn(params_i, x_tree, per_mb_tree, broadcast) ->
-    x_tree`` must preserve its structure. Batched values the layers read
+    lockstep; ``layer_fn(params_i, x_tree, per_mb_tree, broadcast,
+    mb_idx) -> x_tree`` must preserve its structure (``mb_idx`` is the
+    traced index of the microbatch being processed — fold it into any
+    dropout keys so microbatches draw distinct masks). Batched values the layers read
     but don't rewrite (cross-attn context, padding masks) go in ``per_mb``:
     they stay stage-replicated and each stage indexes its current
     microbatch's slice locally — no ring traffic, no output psum for them.
@@ -201,7 +203,13 @@ def pipeline_apply(
     if not x_leaves:
         raise ValueError("pipeline_apply needs at least one streamed array")
     dp = mesh.shape[batch_axis] if batch_axis else 1
-    local_batch = x_leaves[0].shape[0] // dp
+    batch = x_leaves[0].shape[0]
+    if batch < dp or batch % dp:
+        raise ValueError(
+            f"batch {batch} not divisible by the {dp}-way '{batch_axis}' "
+            f"mesh axis"
+        )
+    local_batch = batch // dp
     m = int(n_microbatches) if n_microbatches else _default_microbatches(
         local_batch, n_stages
     )

@@ -59,6 +59,12 @@ class BaseTrainer:
         tp = int(cfg.training.get("tensor_parallel", 1) or 1)
         sp = int(cfg.training.get("sequence_parallel", 1) or 1)
         pp = int(cfg.training.get("pipeline_parallel", 1) or 1)
+        if tp * sp * pp > len(jax.devices()):
+            raise ValueError(
+                f"tensor_parallel*sequence_parallel*pipeline_parallel = "
+                f"{tp * sp * pp} exceeds the {len(jax.devices())} available "
+                f"devices"
+            )
         if pp > 1:
             if tp > 1 or sp > 1:
                 raise ValueError(

@@ -17,7 +17,23 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+@pytest.fixture(autouse=True)
+def _reset_ambient_mesh():
+    """Trainers set the ambient mesh globally for their lifetime
+    (jax.sharding.set_mesh in BaseTrainer); without a reset it leaks into
+    later tests, whose models then dispatch to sharded paths on a stale
+    mesh (or fail placement when device sets differ)."""
+    yield
+    from jax._src import mesh as mesh_lib
+
+    try:
+        jax.sharding.set_mesh(mesh_lib.empty_concrete_mesh)
+    except Exception:
+        pass

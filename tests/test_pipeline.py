@@ -26,7 +26,7 @@ def _setup(L=8, d=16, b=8, seed=0):
     return params, x
 
 
-def _layer(p, h, per=(), bc=()):
+def _layer(p, h, per=(), bc=(), mb_idx=0):
     return jnp.tanh(h @ p["w"] + p["b"])
 
 
@@ -85,7 +85,7 @@ def test_pipeline_per_mb_broadcast_and_data_axis():
     keep = jnp.array(rs.rand(b, tc) > 0.3)  # bool leaf streams too
     shift = jnp.array(rs.randn(d) * 0.1, jnp.float32)  # broadcast constant
 
-    def layer(p, h, per, bc):
+    def layer(p, h, per, bc, mb_idx=0):
         ctx, keep = per
         pooled = jnp.sum(
             jnp.where(keep[..., None], ctx, 0.0), axis=1
@@ -153,6 +153,34 @@ def test_decoder_pipeline_matches_sequential_scan():
     # cotangent magnitude, so compare at 1e-3 relative
     np.testing.assert_allclose(np.asarray(ggot), np.asarray(gref),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_pipeline_dropout_masks_differ_across_microbatches():
+    """Stochastic training under pp: identical examples placed in DIFFERENT
+    microbatches must draw different dropout masks (the per-layer key is
+    folded with the microbatch index — one key per layer would repeat the
+    same mask every tick)."""
+    from attention_models_tpu.models.transformer import Encoder
+
+    d = 32
+    model = Encoder(dim=d, n_heads=2, d_head=16, depth=2, scan=True,
+                    dropout=0.5, pp_microbatches=2)
+    rs = np.random.RandomState(0)
+    row = rs.randn(1, 6, d).astype(np.float32) * 0.1
+    x = jnp.asarray(np.tile(row, (4, 1, 1)))  # 4 identical examples
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    mesh = create_mesh(data=1, stage=2, devices=jax.devices()[:2])
+    with jax.sharding.set_mesh(mesh):
+        # control: no dropout -> identical rows regardless of microbatch
+        det = model.apply(params, x)
+        np.testing.assert_allclose(np.asarray(det[0]), np.asarray(det[2]),
+                                   atol=1e-6, rtol=1e-6)
+        out = model.apply(params, x, deterministic=False,
+                          rngs={"dropout": jax.random.PRNGKey(1)})
+    # rows 0 and 2 sit in microbatch 0 and 1 respectively (m=2, size 2)
+    assert not np.allclose(np.asarray(out[0]), np.asarray(out[2]),
+                           atol=1e-4), "microbatches shared a dropout mask"
 
 
 def test_stage_sharding_rules_split_stacked_layers():
