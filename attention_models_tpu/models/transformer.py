@@ -79,7 +79,12 @@ class Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, context_mask=None, deterministic: bool = True):
-        layer_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
+        # static_argnums counts self at 0: `deterministic` (3) is a Python
+        # bool branched on inside the layer — tracing it crashes remat
+        layer_cls = (
+            nn.remat(EncoderLayer, static_argnums=(3,))
+            if self.remat else EncoderLayer
+        )
         if self.scan:
             # Pipeline parallelism: when the trainer mesh has a sharded
             # ``stage`` axis (training.pipeline_parallel), run the stacked
@@ -92,7 +97,7 @@ class Encoder(nn.Module):
                     pp_mesh, self.depth, x.shape[0], self.pp_microbatches
                 ):
                     return self._pp_forward(
-                        layer_cls, x, context_mask, deterministic, pp_mesh
+                        x, context_mask, deterministic, pp_mesh
                     )
 
             def body(layer, x, context_mask):
@@ -119,13 +124,15 @@ class Encoder(nn.Module):
             )(x, context_mask, deterministic)
         return x
 
-    def _pp_forward(self, layer_cls, x, context_mask, deterministic, mesh):
+    def _pp_forward(self, x, context_mask, deterministic, mesh):
         """GPipe forward over the ``stage`` mesh axis: each device applies
         its contiguous depth/S slice of the scan-stacked params; the mask
         is a per-microbatch constant each stage indexes locally; per-layer
         dropout rngs ride in the scanned pytree so stochastic training
-        still works."""
-        layer = layer_cls(
+        still works. ``remat`` wraps the whole per-layer fn in
+        jax.checkpoint (the nn.remat-wrapped module can't take the static
+        bool args through its apply)."""
+        layer = EncoderLayer(
             self.dim, self.n_heads, self.d_head, self.mult, self.dropout,
             dtype=self.dtype,
         )
@@ -156,6 +163,8 @@ class Encoder(nn.Module):
                 deterministic, rngs=rngs,
             )
 
+        if self.remat:
+            layer_fn = jax.checkpoint(layer_fn)
         return pipeline_apply(
             scanned, x, layer_fn, mesh,
             batch_axis=DATA_AXIS if dp > 1 else None,
@@ -217,7 +226,12 @@ class Decoder(nn.Module):
         self, dec_in, context, context_mask=None, causal_mask=None,
         causal: bool = False, deterministic: bool = True, decode: bool = False,
     ):
-        layer_cls = nn.remat(DecoderLayer) if self.remat else DecoderLayer
+        # static_argnums counts self at 0: `causal`/`deterministic`/`decode`
+        # (5, 6, 7) are Python bools branched on inside the layer
+        layer_cls = (
+            nn.remat(DecoderLayer, static_argnums=(5, 6, 7))
+            if self.remat else DecoderLayer
+        )
         x = dec_in
         if self.scan:
             # Pipeline parallelism (see Encoder.__call__). Not in decode
@@ -228,7 +242,7 @@ class Decoder(nn.Module):
                     pp_mesh, self.depth, x.shape[0], self.pp_microbatches
                 ):
                     return self._pp_forward(
-                        layer_cls, x, context, context_mask, causal_mask,
+                        x, context, context_mask, causal_mask,
                         causal, deterministic, pp_mesh,
                     )
 
@@ -263,14 +277,14 @@ class Decoder(nn.Module):
         return x
 
     def _pp_forward(
-        self, layer_cls, x, context, context_mask, causal_mask, causal,
+        self, x, context, context_mask, causal_mask, causal,
         deterministic, mesh,
     ):
         """GPipe forward (see Encoder._pp_forward). The cross-attention
         context and its mask are per-microbatch constants (stage-replicated,
         indexed locally — only the hidden stream rides the ring); the causal
         mask is an unbatched broadcast constant."""
-        layer = layer_cls(
+        layer = DecoderLayer(
             self.dim, self.n_heads, self.d_head, self.mult, self.dropout,
             dtype=self.dtype, max_decode_len=self.max_decode_len,
         )
@@ -306,6 +320,8 @@ class Decoder(nn.Module):
                 rngs=rngs,
             )
 
+        if self.remat:
+            layer_fn = jax.checkpoint(layer_fn)
         return pipeline_apply(
             scanned, x, layer_fn, mesh,
             batch_axis=DATA_AXIS if dp > 1 else None,

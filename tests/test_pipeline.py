@@ -119,18 +119,21 @@ def test_pipeline_per_mb_broadcast_and_data_axis():
                                atol=1e-5, rtol=1e-5)
 
 
-def test_decoder_pipeline_matches_sequential_scan():
+@pytest.mark.parametrize("remat", [False, True])
+def test_decoder_pipeline_matches_sequential_scan(remat):
     """End-to-end model routing: the same scan-created params produce the
     same output (and input-gradients) whether the stacked layers run as a
     sequential nn.scan (no ambient stage axis) or as a GPipe ring (ambient
-    mesh with stage=2, the trainer's `training.pipeline_parallel` path)."""
+    mesh with stage=2, the trainer's `training.pipeline_parallel` path).
+    remat=True covers training.remat composed with pp (the pipeline applies
+    the nn.remat-wrapped layer)."""
     from attention_models_tpu.models.transformer import Decoder
 
     b, t, tc, d = 4, 6, 5, 32
     # pp_microbatches exercises the model-level knob (training.
     # pipeline_microbatches); per-shard batch is 4/2=2, so m=2 is valid
     model = Decoder(dim=d, n_heads=2, d_head=16, depth=4, scan=True,
-                    pp_microbatches=2)
+                    pp_microbatches=2, remat=remat)
     rs = np.random.RandomState(0)
     x = jnp.array(rs.randn(b, t, d) * 0.1, jnp.float32)
     ctx = jnp.array(rs.randn(b, tc, d) * 0.1, jnp.float32)

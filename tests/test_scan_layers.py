@@ -80,3 +80,26 @@ def test_scanned_decoder_gradients_flow():
     grads = jax.grad(loss)(params)
     norms = [float(jnp.linalg.norm(g)) for g in jax.tree.leaves(grads)]
     assert all(np.isfinite(norms)) and max(norms) > 0
+
+
+def test_remat_matches_plain_all_forms():
+    """training.remat must be a pure memory knob: the nn.remat-wrapped
+    layers (static bool args pinned via static_argnums — tracing them is a
+    TracerBoolConversionError) produce identical outputs and finite grads
+    in both the loop and nn.scan forms. Regression: remat was broken at
+    trace time for every Decoder call until round 2."""
+    x = jnp.array(np.random.RandomState(0).randn(2, 6, 32), jnp.float32)
+    ctx = jnp.array(np.random.RandomState(1).randn(2, 5, 32), jnp.float32)
+    for scan_flag in (False, True):
+        dec = Decoder(32, n_heads=2, d_head=16, depth=2, scan=scan_flag,
+                      remat=True)
+        params = dec.init(jax.random.key(0), x, ctx)
+        plain = Decoder(32, n_heads=2, d_head=16, depth=2, scan=scan_flag)
+        out_r = dec.apply(params, x, ctx, causal=True)
+        out_p = plain.apply(params, x, ctx, causal=True)
+        np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_p),
+                                   atol=1e-6, rtol=1e-6)
+        g = jax.grad(
+            lambda xx: jnp.sum(dec.apply(params, xx, ctx, causal=True) ** 2)
+        )(x)
+        assert np.isfinite(np.asarray(g)).all()
