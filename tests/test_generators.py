@@ -65,6 +65,19 @@ def test_maskgit_generate_jits(maskgit):
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+def test_maskgit_generate_approx_topk_path(maskgit):
+    """The opt-in fast sampling path (approx_topk=True: fused epilogue /
+    counting-bisection threshold instead of the reference-exact lax.top_k)
+    must produce valid finite images of the same shape — it is what bench
+    and the inference CLIs run, but no test covered it."""
+    m, params = maskgit
+    out = m.apply(params, jax.random.key(5), batch=2, num_masked=4,
+                  timesteps=3, approx_topk=True,
+                  method=MaskGitTransformer.generate)
+    assert out.shape == (2, 3, 16, 16)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
 def test_maskgit_inpainting_path(maskgit):
     m, params = maskgit
     imgs = jnp.array(np.random.RandomState(1).rand(2, 3, 16, 16), jnp.float32)
@@ -114,6 +127,15 @@ def test_muse_generate_with_cfg_jits(muse):
         return m.apply(p, ids, rng, timesteps=3, method=MUSE.generate)
 
     out = gen(params, ids, jax.random.key(2))
+    assert out.shape == (2, 3, 16, 16)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_muse_generate_approx_topk_path(muse):
+    """Fast-sampling flag on the CFG decode (what bench/inference run)."""
+    m, params, ids = muse
+    out = m.apply(params, ids, jax.random.key(4), timesteps=3,
+                  approx_topk=True, method=MUSE.generate)
     assert out.shape == (2, 3, 16, 16)
     assert np.all(np.isfinite(np.asarray(out)))
 

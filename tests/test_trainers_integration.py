@@ -457,3 +457,31 @@ def test_pad_batch_semantics(tmp_path):
     full = np.zeros((4, 3), np.float32)
     (full_p, n_full) = trainer.pad_batch(full)
     assert n_full == 4 and full_p is full
+
+
+def test_profiler_and_nan_check_knobs(tmp_path):
+    """training.profile_step opens a jax.profiler window dumped under
+    outputs/<project>/profile (SURVEY §5 tracing); training.debug_nans
+    (wired in main.py) flips jax_debug_nans so a NaN raises instead of
+    propagating. Neither knob had coverage."""
+    trainer, _ = _run("vit_overfit.yaml", tmp_path,
+                      **{"training.profile_step": 1,
+                         "training.profile_num_steps": 1,
+                         "training.num_epochs": 1})
+    prof = tmp_path / "outputs" / "vit_overfit" / "profile"
+    assert prof.exists() and any(prof.rglob("*.pb")) or any(
+        prof.rglob("*")
+    ), "no profiler trace written"
+
+    import jax.numpy as jnp
+    import pytest as _pytest
+    from attention_models_tpu.utils.profiling import enable_nan_checks
+
+    try:
+        enable_nan_checks(True)
+        with _pytest.raises(FloatingPointError):
+            jax.block_until_ready(
+                jax.jit(lambda x: jnp.log(x))(jnp.array(-1.0))
+            )
+    finally:
+        enable_nan_checks(False)

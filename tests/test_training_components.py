@@ -119,3 +119,35 @@ def test_checkpoint_roundtrip(tmp_path):
                                   np.arange(4.0))
     # optimizer state restored too (count + moments)
     assert jax.tree.structure(restored["opt"]) == jax.tree.structure(state["opt"])
+
+
+def test_max_grad_norm_clips_update():
+    """training.max_grad_norm must actually bound the gradient entering the
+    optimizer (optax.clip_by_global_norm chained FIRST in build_optimizer).
+    Adam's update is scale-invariant, so observe the clip through the adam
+    moments: with clipping the first-step moments reflect a norm-1
+    gradient; without, they reflect the raw norm-50 one."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from attention_models_tpu.training.optim import build_optimizer
+    from attention_models_tpu.utils.config import Config
+
+    def first_step_moment_max(clip):
+        cfg = Config({
+            "optimizer": {"name": "adam", "params": {
+                "learning_rate": 1.0, "beta1": 0.9, "beta2": 0.999}},
+            "training": ({"max_grad_norm": 1.0} if clip else {}),
+        })
+        params = {"w": jnp.zeros((2,))}
+        tx = build_optimizer(cfg, lambda step: 0.1, params)
+        g = {"w": jnp.array([30.0, 40.0])}  # global norm 50
+        _, state = tx.update(g, tx.init(params), params)
+        return max(float(jnp.max(jnp.abs(l)))
+                   for l in jax.tree.leaves(state)
+                   if jnp.issubdtype(l.dtype, jnp.floating))  # skip count
+
+    clipped = first_step_moment_max(clip=True)
+    raw = first_step_moment_max(clip=False)
+    # mu = (1-b1)*g: 0.08 for the norm-1 clipped grad vs 4.0 raw
+    assert clipped < 0.5 < raw, (clipped, raw)
