@@ -163,10 +163,59 @@ class BaseTrainer:
         loop can exit; resume will continue at this exact step."""
         if not self._preempt_requested:
             return False
+        self.stop_profiler()  # close a pending trace window before exiting
         self.ckpt.save(self.global_step, self._with_rng(state), force=True,
                        wait=True)
         log.warning("preemption checkpoint saved at step %d", self.global_step)
         return True
+
+    # -- train-loop cadence -------------------------------------------------
+    @property
+    def opt_step(self) -> int:
+        """Optimizer-step counter: optax.MultiSteps advances the schedule
+        once per ``gradient_accumulation_steps`` micro-steps, so logged LR
+        must be sampled here, not at the micro-step counter."""
+        return self.global_step // self.gradient_accumulation_steps
+
+    def due(self, every, at_step0: bool = False) -> bool:
+        """True when a cadence knob fires this step; 0/None disables it."""
+        if not every:
+            return False
+        if not self.global_step:
+            return at_step0
+        return self.global_step % int(every) == 0
+
+    def resume_position(self):
+        """(start_epoch, batches_to_skip) for mid-epoch resume: re-entering
+        at the epoch boundary alone would replay the partial epoch AND run
+        past the configured total step count."""
+        return divmod(self.global_step, max(len(self.train_dl), 1))
+
+    def on_sample(self):
+        """sample_every hook (subclasses: sample grids / prompts)."""
+
+    def on_eval(self):
+        """eval_every hook (subclasses: validation pass)."""
+
+    def run_cadence(self, m):
+        """Per-step bookkeeping shared by every train loop: save / sample /
+        eval / log cadences (0 disables a knob), the step-latency tick, and
+        the step counter."""
+        if self.due(self.save_every):
+            self.save_ckpt(self.state)
+        if self.due(self.sample_every):
+            self.on_sample()
+        if self.due(self.eval_every):
+            self.on_eval()
+        if self.due(self.log_every, at_step0=True):
+            self.metrics.log(self._train_metrics(m), self.global_step)
+        self.tick(sync_on=m)
+        self.global_step += 1
+
+    def _train_metrics(self, m):
+        out = {k: float(v) for k, v in m.items()}
+        out["lr"] = float(self.schedule(self.opt_step))
+        return out
 
     # -- observability ------------------------------------------------------
     def tick(self, sync_on=None):
@@ -265,7 +314,13 @@ class BaseTrainer:
         path = self.cfg.experiment.get("resume_path_from_checkpoint")
         mgr = None
         if path:
-            mgr = CheckpointManager(path) if os.path.isdir(path) else self.ckpt
+            if not os.path.isdir(path):
+                raise FileNotFoundError(
+                    f"experiment.resume_path_from_checkpoint={path!r} is not "
+                    f"an existing checkpoint directory — refusing to "
+                    f"silently start a fresh run"
+                )
+            mgr = CheckpointManager(path)
         elif self.ckpt.latest_step() is not None and self.cfg.experiment.get(
             "auto_resume", False
         ):

@@ -61,9 +61,6 @@ class _GeneratorTrainer(BaseTrainer):
     def _build_steps(self):
         raise NotImplementedError
 
-    def _train_metrics(self, m):
-        return {"loss": float(m["loss"]),
-                "lr": float(self.schedule(self.global_step))}
 
 
 class MaskGitTrainer(_GeneratorTrainer):
@@ -112,27 +109,20 @@ class MaskGitTrainer(_GeneratorTrainer):
     def train(self):
         from attention_models_tpu.data.loaders import device_prefetch
 
-        start_epoch = self.global_step // max(len(self.train_dl), 1)
-        for _epoch in range(start_epoch, self.num_epoch):
+        start_epoch, skip = self.resume_position()
+        for epoch in range(start_epoch, self.num_epoch):
             # host->device DMA for batch N+1 overlaps step N
-            for img in device_prefetch(self.train_dl,
-                                       lambda b: self.shard_batch(b[0])):
+            for it, img in enumerate(device_prefetch(
+                self.train_dl, lambda b: self.shard_batch(b[0])
+            )):
+                if epoch == start_epoch and it < skip:
+                    continue  # mid-epoch resume: already-trained batches
                 self.state, m = self._train_step(self.state, img, self.rng())
-                self._on_step(m)
+                self.run_cadence(m)
                 if self.check_preemption(self.state):
                     return
         self.stop_profiler()
         log.info("Train finished!")
-
-    def _on_step(self, m):
-        if self.global_step and not self.global_step % self.save_every:
-            self.save_ckpt(self.state)
-        if self.global_step and not self.global_step % self.sample_every:
-            self.evaluate()
-        if not self.global_step % self.log_every:
-            self.metrics.log(self._train_metrics(m), self.global_step)
-        self.tick(sync_on=m)
-        self.global_step += 1
 
     def evaluate(self):
         for i, (img, _) in enumerate(self.val_dl):
@@ -144,9 +134,12 @@ class MaskGitTrainer(_GeneratorTrainer):
             )
             self.log_image_grid(
                 np.asarray(rec, np.float32)[:n],
-                os.path.join(self.image_saved_dir, "step.png"),
-                "samples/recon",
+                os.path.join(self.image_saved_dir, f"step_{i}.png"),
+                f"samples/recon_{i}",
             )
+
+    def on_sample(self):
+        self.evaluate()
 
 
 class MuseTrainer(_GeneratorTrainer):
@@ -202,28 +195,26 @@ class MuseTrainer(_GeneratorTrainer):
             return (self.shard_batch(img),
                     self.shard_batch(tokenize(list(texts), self.max_length)))
 
-        start_epoch = self.global_step // max(len(self.train_dl), 1)
-        for _epoch in range(start_epoch, self.num_epoch):
-            for img, ids in device_prefetch(self.train_dl, place):
+        start_epoch, skip = self.resume_position()
+        for epoch in range(start_epoch, self.num_epoch):
+            for it, (img, ids) in enumerate(
+                device_prefetch(self.train_dl, place)
+            ):
+                if epoch == start_epoch and it < skip:
+                    continue  # mid-epoch resume: already-trained batches
                 self.state, m = self._train_step(self.state, ids, img,
                                                  self.rng())
-                if (self.global_step
-                        and not self.global_step % self.save_every):
-                    self.save_ckpt(self.state)
-                if (self.global_step
-                        and not self.global_step % self.sample_every):
-                    self.sample_prompts()
-                if (self.global_step
-                        and not self.global_step % self.eval_every):
-                    self.evaluate()
-                if not self.global_step % self.log_every:
-                    self.metrics.log(self._train_metrics(m), self.global_step)
-                self.tick(sync_on=m)
-                self.global_step += 1
+                self.run_cadence(m)
                 if self.check_preemption(self.state):
                     return
         self.stop_profiler()
         log.info("Train finished!")
+
+    def on_sample(self):
+        self.sample_prompts()
+
+    def on_eval(self):
+        self.evaluate()
 
     def _prompts(self):
         if os.path.exists(PROMPTS_FILE):
@@ -318,25 +309,23 @@ class PartiTrainer(_GeneratorTrainer):
             return (self.shard_batch(img),
                     self.shard_batch(tokenize(list(texts), self.max_length)))
 
-        start_epoch = self.global_step // max(len(self.train_dl), 1)
-        for _epoch in range(start_epoch, self.num_epoch):
-            for img, ids in device_prefetch(self.train_dl, place):
+        start_epoch, skip = self.resume_position()
+        for epoch in range(start_epoch, self.num_epoch):
+            for it, (img, ids) in enumerate(
+                device_prefetch(self.train_dl, place)
+            ):
+                if epoch == start_epoch and it < skip:
+                    continue  # mid-epoch resume: already-trained batches
                 self.state, m = self._train_step(self.state, ids, img,
                                                  self.rng())
-                if (self.global_step
-                        and not self.global_step % self.save_every):
-                    self.save_ckpt(self.state)
-                if (self.global_step
-                        and not self.global_step % self.sample_every):
-                    self.evaluate()
-                if not self.global_step % self.log_every:
-                    self.metrics.log(self._train_metrics(m), self.global_step)
-                self.tick(sync_on=m)
-                self.global_step += 1
+                self.run_cadence(m)
                 if self.check_preemption(self.state):
                     return
         self.stop_profiler()
         log.info("Train finished!")
+
+    def on_sample(self):
+        self.evaluate()
 
     def evaluate(self):
         from attention_models_tpu.models.parti import parti_generate

@@ -55,11 +55,13 @@ def build_optimizer(
     eps = float(p.get("epsilon", 1e-8) or 1e-8)
 
     if name == "adamw" and no_decay_grouping and wd > 0:
+        # decay_mask passed as a CALLABLE: when this whole chain runs inside
+        # optax.masked (frozen_subtrees below), the updates pytree carries
+        # MaskedNode leaves — a mask precomputed on the full params tree
+        # would no longer match its structure
         base = optax.chain(
             optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
-            optax.masked(
-                optax.add_decayed_weights(wd), decay_mask(params)
-            ),
+            optax.masked(optax.add_decayed_weights(wd), decay_mask),
             optax.scale_by_learning_rate(schedule),
         )
     elif name == "adamw":
@@ -76,13 +78,18 @@ def build_optimizer(
         base = optax.chain(optax.clip_by_global_norm(float(max_grad_norm)), base)
 
     if frozen_subtrees:
-        # zero the FINAL updates of frozen subtrees, so neither adam moments
-        # nor weight decay can move them
+        frozen = jax.tree.map(lambda m: not m,
+                              frozen_mask(params, frozen_subtrees))
+        trainable = jax.tree.map(lambda m: not m, frozen)
+        # run the optimizer on the TRAINABLE partition only — optax.masked
+        # substitutes MaskedNode for masked-out leaves in the inner state,
+        # so no adam moments are allocated for the frozen towers (for
+        # Muse's frozen vq + text encoder that is two full fp32 copies of
+        # ~their params in HBM holding permanent zeros) — then zero the
+        # frozen updates, which the first masked passes through unchanged
         base = optax.chain(
-            base,
-            optax.masked(optax.set_to_zero(),
-                         jax.tree.map(lambda m: not m,
-                                      frozen_mask(params, frozen_subtrees))),
+            optax.masked(base, trainable),
+            optax.masked(optax.set_to_zero(), frozen),
         )
 
     accum = int(cfg.training.get("gradient_accumulation_steps", 1) or 1)

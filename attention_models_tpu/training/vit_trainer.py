@@ -26,7 +26,11 @@ class VitTrainer(BaseTrainer):
 
         lr = float(cfg.optimizer.params.learning_rate)
         warmup = int(cfg.lr_scheduler.params.warmup_steps)
-        total = self.num_epoch * max(len(self.train_dl), 1)
+        # horizon in OPTIMIZER steps: MultiSteps advances the schedule once
+        # per gradient_accumulation_steps micro-batches, so sizing it in
+        # micro-steps would leave the cosine 1/accum of the way through at
+        # the end of training (num_iters_per_epoch is eff-batch based)
+        total = self.num_epoch * self.num_iters_per_epoch
         self.schedule = cosine_with_warmup(lr, warmup, total)
 
         res = int(cfg.dataset.preprocessing.resolution)
@@ -87,27 +91,23 @@ class VitTrainer(BaseTrainer):
             return (self.shard_batch(img),
                     self.shard_batch(np.asarray(target)))
 
-        start_epoch = self.global_step // max(len(self.train_dl), 1)
-        for _epoch in range(start_epoch, self.num_epoch):
-            for img, target in device_prefetch(self.train_dl, place):
+        start_epoch, skip = self.resume_position()
+        for epoch in range(start_epoch, self.num_epoch):
+            for it, (img, target) in enumerate(
+                device_prefetch(self.train_dl, place)
+            ):
+                if epoch == start_epoch and it < skip:
+                    continue  # mid-epoch resume: already-trained batches
                 self.state, m = self._train_step(self.state, img, target,
                                                  self.rng())
-                if self.global_step and not self.global_step % self.save_every:
-                    self.save_ckpt(self.state)
-                if self.global_step and not self.global_step % self.eval_every:
-                    self.evaluate()
-                if not self.global_step % self.log_every:
-                    self.metrics.log(
-                        {"loss": float(m["loss"]), "acc": float(m["acc"]),
-                         "lr": float(self.schedule(self.global_step))},
-                        self.global_step,
-                    )
-                self.tick(sync_on=m)
-                self.global_step += 1
+                self.run_cadence(m)
                 if self.check_preemption(self.state):
                     return
         self.stop_profiler()
         log.info("Train finished!")
+
+    def on_eval(self):
+        self.evaluate()
 
     def evaluate(self):
         correct = []

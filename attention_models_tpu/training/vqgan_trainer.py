@@ -193,33 +193,27 @@ class VQGANTrainer(BaseTrainer):
             img = batch[0] if isinstance(batch, (tuple, list)) else batch
             return self.shard_batch(img)
 
-        start_epoch = self.global_step // max(len(self.train_dl), 1)
-        for _epoch in range(start_epoch, self.num_epoch):
-            for img in device_prefetch(self.train_dl, place):
+        start_epoch, skip = self.resume_position()
+        for epoch in range(start_epoch, self.num_epoch):
+            for it, img in enumerate(device_prefetch(self.train_dl, place)):
+                if epoch == start_epoch and it < skip:
+                    continue  # mid-epoch resume: already-trained batches
                 self.state, d_metrics = self._d_step(self.state, img,
                                                      self.rng())
                 self.state, g_metrics = self._g_step(self.state, img)
-
-                if self.global_step and not self.global_step % self.save_every:
-                    self.save_ckpt(self.state)
-                if (self.global_step
-                        and not self.global_step % self.sample_every):
-                    self.evaluate()
-                if not self.global_step % self.log_every:
-                    lr = float(self.schedule(self.global_step))
-                    self.metrics.log(
-                        {"g_lr": lr, "d_lr": lr, **{
-                            k: float(v) for k, v in
-                            {**d_metrics, **g_metrics}.items()
-                        }},
-                        self.global_step,
-                    )
-                self.tick(sync_on=g_metrics)
-                self.global_step += 1
+                self.run_cadence({**d_metrics, **g_metrics})
                 if self.check_preemption(self.state):
                     return
         self.stop_profiler()
         log.info("Train finished!")
+
+    def on_sample(self):
+        self.evaluate()
+
+    def _train_metrics(self, m):
+        lr = float(self.schedule(self.opt_step))
+        return {"g_lr": lr, "d_lr": lr,
+                **{k: float(v) for k, v in m.items()}}
 
     def evaluate(self):
         for i, batch in enumerate(self.val_dl):

@@ -485,3 +485,100 @@ def test_profiler_and_nan_check_knobs(tmp_path):
             )
     finally:
         enable_nan_checks(False)
+
+
+def test_mid_epoch_resume_trains_exact_total(tmp_path):
+    """A checkpoint taken mid-epoch must resume at that batch position and
+    end at exactly num_epochs*iters_per_epoch steps — re-entering at the
+    epoch boundary would replay the partial epoch AND overshoot the total
+    (training past the LR-schedule horizon)."""
+    import numpy as np
+
+    # 8 examples / batch 2 -> 4 iters per epoch
+    overrides = {"experiment.max_train_examples": 8,
+                 "dataset.params.batch_size": 2,
+                 "training.num_epochs": 1}
+    trainer, _ = _run("vit_overfit.yaml", tmp_path, **overrides)
+    assert trainer.global_step == 4
+
+    # craft a mid-epoch checkpoint at step 3 and resume for 2 total epochs
+    state = dict(trainer.state)
+    state["step"] = 3
+    trainer.ckpt.save(3, trainer._with_rng(state), force=True, wait=True)
+
+    cfg2 = load_config(os.path.join(CFG_DIR, "vit_overfit.yaml"))
+    for k, v in {**overrides, "training.num_epochs": 2,
+                 "experiment.auto_resume": True}.items():
+        cfg2.set_path(k, v)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        model, patches = build_model(cfg2)
+        loaders = build_loader(cfg2)
+        trainer2 = build_trainer(cfg2, model, loaders,
+                                 pretrained_patches=patches)
+        assert trainer2.global_step == 3
+        assert trainer2.resume_position() == (0, 3)
+        trainer2.train()
+        assert trainer2.global_step == 8, (
+            f"resumed run ended at {trainer2.global_step}, want 8 "
+            f"(epoch-boundary restart would end at 11)"
+        )
+    finally:
+        os.chdir(cwd)
+
+
+def test_frozen_subtrees_allocate_no_moments(tmp_path):
+    """Frozen towers (MaskGIT's vq) must not carry adam moments: the
+    optimizer runs under optax.masked, so the opt state holds MaskedNode —
+    not two fp32 zero-copies of the frozen params — for those leaves."""
+    trainer, _ = _run("maskgit_overfit.yaml", tmp_path,
+                      **{"training.num_epochs": 1})
+    vq_moment_leaves = [
+        leaf for path, leaf in
+        jax.tree_util.tree_flatten_with_path(trainer.state["opt"])[0]
+        if "'vq'" in str(path) or "/vq/" in str(path)
+    ]
+    assert not vq_moment_leaves, (
+        f"{len(vq_moment_leaves)} moment arrays allocated for frozen vq"
+    )
+    # and the frozen tower stayed frozen through real train steps
+    # (its params bit-match a fresh init is covered by the generator tests;
+    # here just assert trainable moments DO exist)
+    bt_moments = [
+        leaf for path, leaf in
+        jax.tree_util.tree_flatten_with_path(trainer.state["opt"])[0]
+        if "bidirectional_transformer" in str(path)
+    ]
+    assert bt_moments
+
+
+def test_cadence_zero_disables(tmp_path):
+    """experiment.{log,save,sample,eval}_every: 0 must mean 'disabled', not
+    ZeroDivisionError (the base tick() already documented that contract)."""
+    trainer, _ = _run("vit_overfit.yaml", tmp_path,
+                      **{"experiment.log_every": 0,
+                         "experiment.save_every": 0,
+                         "experiment.sample_every": 0,
+                         "experiment.eval_every": 0,
+                         "training.num_epochs": 1})
+    assert trainer.global_step > 0
+    logs = _losses(tmp_path, "vit_overfit")
+    assert not any("loss" in l for l in logs)  # logging disabled
+
+
+def test_logged_lr_tracks_optimizer_steps(tmp_path):
+    """With gradient accumulation the schedule advances once per optimizer
+    step (optax.MultiSteps); the logged lr must sample schedule(step//k),
+    not schedule(micro_step) — k times too fast through warmup."""
+    trainer, _ = _run("vit_overfit.yaml", tmp_path,
+                      **{"training.gradient_accumulation_steps": 2,
+                         "experiment.max_train_examples": 8,
+                         "dataset.params.batch_size": 2,
+                         "lr_scheduler.params.warmup_steps": 4,
+                         "training.num_epochs": 1})
+    logs = [l for l in _losses(tmp_path, "vit_overfit") if "lr" in l]
+    assert logs
+    for l in logs:
+        expect = float(trainer.schedule(l["step"] // 2))
+        assert abs(l["lr"] - expect) < 1e-9, (l["step"], l["lr"], expect)
