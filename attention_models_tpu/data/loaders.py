@@ -45,10 +45,19 @@ class DataLoader:
             n += 1
         return max(n, 1 if len(self.dataset) else 0)
 
-    def _batch_indices(self):
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle permutation of the NEXT iteration to ``epoch``
+        (same contract as torch DistributedSampler.set_epoch). Trainers call
+        this each epoch so a resumed run replays the exact permutations the
+        uninterrupted run would have used — without it, a fresh process
+        restarts the internal counter and mid-epoch resume skips batches
+        from the wrong shuffle order."""
+        self._epoch = int(epoch)
+
+    def _batch_indices(self, epoch: int):
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            np.random.default_rng(self.seed + self._epoch).shuffle(idx)
+            np.random.default_rng(self.seed + epoch).shuffle(idx)
         end = (
             len(idx) - len(idx) % self.batch_size
             if self.drop_last and len(idx) >= self.batch_size
@@ -58,30 +67,50 @@ class DataLoader:
             yield idx[s : s + self.batch_size]
 
     def __iter__(self) -> Iterator:
+        epoch = self._epoch
         self._epoch += 1
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        abandoned = threading.Event()
         error: list[BaseException] = []
+
+        def put(item) -> bool:  # False once the consumer is gone
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
-                for batch_idx in self._batch_indices():
-                    q.put(_collate([self.dataset[int(i)] for i in batch_idx],
-                                   self.batch_transform))
+                for batch_idx in self._batch_indices(epoch):
+                    if not put(_collate(
+                        [self.dataset[int(i)] for i in batch_idx],
+                        self.batch_transform,
+                    )):
+                        return
             except BaseException as e:  # re-raised in the consumer
                 error.append(e)
             finally:
-                q.put(stop)
+                put(stop)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                if error:
-                    raise error[0]
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    if error:
+                        raise error[0]
+                    break
+                yield item
+        finally:
+            # consumer broke out early (eval loops cap at N batches): let
+            # the producer exit instead of blocking on the full queue
+            # forever, leaking a thread + `prefetch` batches per iteration
+            abandoned.set()
 
 
 def build_loader(cfg):
@@ -101,6 +130,16 @@ def build_loader(cfg):
     params = cfg.dataset.params
     name = cfg.dataset.name
     native = bool(params.get("native_pipeline", False))
+    if native and name == "synthetic":
+        # synthetic items are float32 CHW in [0,1]; the native path needs
+        # uint8 HWC arrays or raw JPEG bytes — coercion would silently
+        # zero every batch
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "native_pipeline ignored for the synthetic dataset"
+        )
+        native = False
     train_bt = NativeBatchTransform(cfg, is_train=True) if native else None
     val_bt = NativeBatchTransform(cfg, is_train=False) if native else None
 
@@ -149,22 +188,40 @@ def device_prefetch(iterable, place_fn, depth: int = 2):
     TPU equivalent."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     stop = object()
+    abandoned = threading.Event()
     error: list[BaseException] = []
 
+    def put(item) -> bool:
+        while not abandoned.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def produce():
+        it = iter(iterable)
         try:
-            for item in iterable:
-                q.put(place_fn(item))
+            for item in it:
+                if not put(place_fn(item)):
+                    break
         except BaseException as e:  # re-raised in the consumer
             error.append(e)
         finally:
-            q.put(stop)
+            close = getattr(it, "close", None)
+            if close is not None:
+                close()  # propagate abandonment into the inner DataLoader
+            put(stop)
 
     threading.Thread(target=produce, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is stop:
-            if error:
-                raise error[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                if error:
+                    raise error[0]
+                return
+            yield item
+    finally:
+        abandoned.set()

@@ -1,8 +1,10 @@
 """Host-side image preprocessing with the reference's exact semantics
 (/root/reference/datasets/transforms.py:12-35):
 
-resize shorter side to int(resolution/scale) (bilinear; eval forces
-scale=1.0) → train: [RandomCrop] [RandomHorizontalFlip] [CenterCrop] per cfg
+resize to the EXACT (n, n) square with n = int(resolution/scale)
+(bilinear; eval forces scale=1.0) — the reference passes a tuple to
+T.Resize, so non-square images are aspect-DISTORTED, not shorter-side
+resized → train: [RandomCrop] [RandomHorizontalFlip] [CenterCrop] per cfg
 flags / eval: CenterCrop → float32 CHW in [0,1] → optional mean/std
 normalize. The shipped configs set mean:null, so images stay in [0,1].
 """
@@ -17,13 +19,9 @@ except ImportError:  # pragma: no cover
     Image = None
 
 
-def _resize_shorter(img, target: int):
-    w, h = img.size
-    if w <= h:
-        nw, nh = target, max(1, round(h * target / w))
-    else:
-        nw, nh = max(1, round(w * target / h)), target
-    return img.resize((nw, nh), Image.BILINEAR)
+def _resize_square(img, target: int):
+    # reference: T.Resize(pair(n)) — exact square, aspect-distorting
+    return img.resize((target, target), Image.BILINEAR)
 
 
 def _center_crop(arr: np.ndarray, size: int) -> np.ndarray:
@@ -57,7 +55,7 @@ class Transform:
     def __call__(self, img) -> np.ndarray:
         """PIL image -> float32 (3, size, size) in [0,1] (or normalized)."""
         img = img.convert("RGB")
-        img = _resize_shorter(img, self.resize_to)
+        img = _resize_square(img, self.resize_to)
         arr = np.asarray(img, np.uint8)
         if self.is_train:
             if self.random_crop:
@@ -102,13 +100,24 @@ class NativeBatchTransform:
         self.is_train = is_train
         self.random_crop = bool(pp.get("random_crop")) and is_train
         self.random_flip = bool(pp.get("random_flip")) and is_train
+        self.mean = pp.get("mean")
+        self.std = pp.get("std")
         self.rng = np.random.default_rng(seed)
         self.num_threads = num_threads
 
     def __call__(self, images: list) -> np.ndarray:
+        out = self._process(images)
+        if self.mean:  # same mean/std semantics as Transform
+            mean = np.asarray(self.mean, np.float32).reshape(1, -1, 1, 1)
+            std = np.asarray(self.std, np.float32).reshape(1, -1, 1, 1)
+            out = (out - mean) / std
+        return out
+
+    def _process(self, images: list) -> np.ndarray:
         """Items may be decoded uint8 HWC arrays OR raw JPEG file bytes —
         bytes go through the fused native decode+preprocess (no PIL on the
-        hot path); corrupt entries fall back to PIL per item."""
+        hot path); corrupt entries fall back to PIL per item. Output is
+        un-normalized [0,1] CHW; __call__ applies mean/std once on top."""
         from attention_models_tpu.native import preprocess_batch
 
         n = len(images)
@@ -122,18 +131,14 @@ class NativeBatchTransform:
                 dec = self._decode_batch([bytes(images[i]) for i in byte_idx])
                 out[byte_idx] = dec
             if arr_idx:
-                out[arr_idx] = self([images[i] for i in arr_idx])
+                out[arr_idx] = self._process([images[i] for i in arr_idx])
             return out
 
         tops = np.zeros(n, np.int32)
         lefts = np.zeros(n, np.int32)
         flips = np.zeros(n, np.uint8)
         for i, im in enumerate(images):
-            h, w = im.shape[:2]
-            if w <= h:
-                rw, rh = self.resize_to, max(1, round(h * self.resize_to / w))
-            else:
-                rh, rw = self.resize_to, max(1, round(w * self.resize_to / h))
+            rh = rw = self.resize_to  # exact-square resize (see module doc)
             if self.random_crop:
                 tops[i] = self.rng.integers(0, max(rh - self.size, 0) + 1)
                 lefts[i] = self.rng.integers(0, max(rw - self.size, 0) + 1)
@@ -162,11 +167,11 @@ class NativeBatchTransform:
         res = decode_preprocess_batch(jpegs, self.resize_to, self.size,
                                       tf, lf, flips, self.num_threads)
         if res is None:  # built without libjpeg: decode via PIL instead
-            return self([_pil_decode(b) for b in jpegs])
+            return self._process([_pil_decode(b) for b in jpegs])
         out, ok = res
         bad = [i for i in range(n) if not ok[i]]
         if bad:  # corrupt JPEGs: per-item PIL fallback
-            out[bad] = self([_pil_decode(jpegs[i]) for i in bad])
+            out[bad] = self._process([_pil_decode(jpegs[i]) for i in bad])
         return out
 
 

@@ -16,7 +16,7 @@ import numpy as np
 
 log = logging.getLogger(__name__)
 
-_ABI_VERSION = 2
+_ABI_VERSION = 3
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 # ABI-versioned filename: dlopen caches by path within a process, so an
 # in-place rebuild of a stale library would keep returning the old handle.

@@ -111,6 +111,9 @@ class MaskGitTrainer(_GeneratorTrainer):
 
         start_epoch, skip = self.resume_position()
         for epoch in range(start_epoch, self.num_epoch):
+            # deterministic shuffle per epoch index: resumed runs replay
+            # the exact permutation the uninterrupted run would have used
+            self.train_dl.set_epoch(epoch)
             # host->device DMA for batch N+1 overlaps step N
             for it, img in enumerate(device_prefetch(
                 self.train_dl, lambda b: self.shard_batch(b[0])
@@ -121,8 +124,7 @@ class MaskGitTrainer(_GeneratorTrainer):
                 self.run_cadence(m)
                 if self.check_preemption(self.state):
                     return
-        self.stop_profiler()
-        log.info("Train finished!")
+        self.finish()
 
     def evaluate(self):
         for i, (img, _) in enumerate(self.val_dl):
@@ -197,6 +199,9 @@ class MuseTrainer(_GeneratorTrainer):
 
         start_epoch, skip = self.resume_position()
         for epoch in range(start_epoch, self.num_epoch):
+            # deterministic shuffle per epoch index: resumed runs replay
+            # the exact permutation the uninterrupted run would have used
+            self.train_dl.set_epoch(epoch)
             for it, (img, ids) in enumerate(
                 device_prefetch(self.train_dl, place)
             ):
@@ -207,8 +212,7 @@ class MuseTrainer(_GeneratorTrainer):
                 self.run_cadence(m)
                 if self.check_preemption(self.state):
                     return
-        self.stop_profiler()
-        log.info("Train finished!")
+        self.finish()
 
     def on_sample(self):
         self.sample_prompts()
@@ -311,6 +315,9 @@ class PartiTrainer(_GeneratorTrainer):
 
         start_epoch, skip = self.resume_position()
         for epoch in range(start_epoch, self.num_epoch):
+            # deterministic shuffle per epoch index: resumed runs replay
+            # the exact permutation the uninterrupted run would have used
+            self.train_dl.set_epoch(epoch)
             for it, (img, ids) in enumerate(
                 device_prefetch(self.train_dl, place)
             ):
@@ -321,8 +328,7 @@ class PartiTrainer(_GeneratorTrainer):
                 self.run_cadence(m)
                 if self.check_preemption(self.state):
                     return
-        self.stop_profiler()
-        log.info("Train finished!")
+        self.finish()
 
     def on_sample(self):
         self.evaluate()

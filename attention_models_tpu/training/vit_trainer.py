@@ -93,6 +93,9 @@ class VitTrainer(BaseTrainer):
 
         start_epoch, skip = self.resume_position()
         for epoch in range(start_epoch, self.num_epoch):
+            # deterministic shuffle per epoch index: resumed runs replay
+            # the exact permutation the uninterrupted run would have used
+            self.train_dl.set_epoch(epoch)
             for it, (img, target) in enumerate(
                 device_prefetch(self.train_dl, place)
             ):
@@ -103,8 +106,7 @@ class VitTrainer(BaseTrainer):
                 self.run_cadence(m)
                 if self.check_preemption(self.state):
                     return
-        self.stop_profiler()
-        log.info("Train finished!")
+        self.finish()
 
     def on_eval(self):
         self.evaluate()

@@ -195,6 +195,9 @@ class VQGANTrainer(BaseTrainer):
 
         start_epoch, skip = self.resume_position()
         for epoch in range(start_epoch, self.num_epoch):
+            # deterministic shuffle per epoch index: resumed runs replay
+            # the exact permutation the uninterrupted run would have used
+            self.train_dl.set_epoch(epoch)
             for it, img in enumerate(device_prefetch(self.train_dl, place)):
                 if epoch == start_epoch and it < skip:
                     continue  # mid-epoch resume: already-trained batches
@@ -204,8 +207,7 @@ class VQGANTrainer(BaseTrainer):
                 self.run_cadence({**d_metrics, **g_metrics})
                 if self.check_preemption(self.state):
                     return
-        self.stop_profiler()
-        log.info("Train finished!")
+        self.finish()
 
     def on_sample(self):
         self.evaluate()

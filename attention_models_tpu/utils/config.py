@@ -53,6 +53,8 @@ class Config(Mapping):
                 return _INTERP_RE.sub(
                     lambda m: str(self._root_cfg().get_path(m.group(1))), v
                 )
+        if isinstance(v, list):  # OmegaConf resolves inside lists too
+            return [self._resolve(x) for x in v]
         return v
 
     def get_path(self, dotted: str) -> Any:
@@ -99,11 +101,13 @@ class Config(Mapping):
 
     def to_dict(self) -> dict:
         out = {}
-        for k, v in self._data.items():
+        for k in self._data:
+            v = self[k]  # resolved: no raw '${...}' leaks into wandb/merges
             if isinstance(v, Config):
                 out[k] = v.to_dict()
             elif isinstance(v, list):
-                out[k] = [x.to_dict() if isinstance(x, Config) else x for x in v]
+                out[k] = [x.to_dict() if isinstance(x, Config) else x
+                          for x in v]
             else:
                 out[k] = v
         return out

@@ -43,8 +43,12 @@ class MetricsWriter:
         clean = {
             k: (float(v) if np.ndim(v) == 0 else v) for k, v in metrics.items()
         }
-        self._jsonl.write(json.dumps({"step": step, "ts": time.time(), **clean})
-                          + "\n")
+        # vector metrics serialize as lists instead of killing the run
+        # (json has no encoder for ndarray/jax.Array)
+        self._jsonl.write(json.dumps(
+            {"step": step, "ts": time.time(), **clean},
+            default=lambda o: np.asarray(o).tolist(),
+        ) + "\n")
         self._jsonl.flush()
         if self._tb is not None:
             for k, v in clean.items():

@@ -50,17 +50,10 @@ void resize_bilinear_u8(const uint8_t* src, int sh, int sw, uint8_t* dst,
 void process_one(const uint8_t* src, int sh, int sw, int resize_to,
                  int crop_size, int crop_top, int crop_left, bool flip,
                  float* out /* (3, crop, crop) */) {
-  // aspect-preserving resize: shorter side -> resize_to
-  int rh, rw;
-  if (sw <= sh) {
-    rw = resize_to;
-    rh = std::max(1, static_cast<int>(
-        static_cast<float>(sh) * resize_to / sw + 0.5f));
-  } else {
-    rh = resize_to;
-    rw = std::max(1, static_cast<int>(
-        static_cast<float>(sw) * resize_to / sh + 0.5f));
-  }
+  // exact-square resize (reference semantics: T.Resize((n, n)) distorts
+  // aspect; crops below then operate within the square)
+  int rh = resize_to, rw = resize_to;
+  (void)sh; (void)sw;
   std::vector<uint8_t> resized(static_cast<size_t>(rh) * rw * 3);
   resize_bilinear_u8(src, sh, sw, resized.data(), rh, rw);
 
@@ -106,7 +99,7 @@ void preprocess_batch(const uint8_t** srcs, const int* hs, const int* ws,
   for (auto& th : pool) th.join();
 }
 
-int native_abi_version() { return 2; }
+int native_abi_version() { return 3; }
 
 }  // extern "C"
 
@@ -200,18 +193,9 @@ void decode_preprocess_batch(const uint8_t** jpegs, const uint64_t* lens,
         ok[i] = 0;
         continue;
       }
-      // crop offsets from fractions, on the RESIZED dims (shorter side ->
-      // resize_to), matching NativeBatchTransform's Python-side math
-      int rh, rw;
-      if (w <= h) {
-        rw = resize_to;
-        rh = std::max(1, static_cast<int>(
-            static_cast<float>(h) * resize_to / w + 0.5f));
-      } else {
-        rh = resize_to;
-        rw = std::max(1, static_cast<int>(
-            static_cast<float>(w) * resize_to / h + 0.5f));
-      }
+      // crop offsets from fractions, on the RESIZED (exact-square) dims,
+      // matching NativeBatchTransform's Python-side math
+      int rh = resize_to, rw = resize_to;
       int avail_t = std::max(rh - crop_size, 0);
       int avail_l = std::max(rw - crop_size, 0);
       int top = top_fracs[i] < 0

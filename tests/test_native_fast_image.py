@@ -15,11 +15,7 @@ pytestmark = pytest.mark.skipif(
 def _ref_pipeline(img, resize_to, crop, top, left, flip):
     import cv2
 
-    h, w = img.shape[:2]
-    if w <= h:
-        rw, rh = resize_to, max(1, round(h * resize_to / w))
-    else:
-        rh, rw = resize_to, max(1, round(w * resize_to / h))
+    rh = rw = resize_to  # exact-square resize (reference T.Resize(pair))
     r = cv2.resize(img, (rw, rh), interpolation=cv2.INTER_LINEAR)
     top = min(max(top, 0), max(rh - crop, 0))
     left = min(max(left, 0), max(rw - crop, 0))
@@ -99,11 +95,7 @@ def test_native_jpeg_decode_matches_pil():
 
     for i, data in enumerate(datas):
         dec = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), np.uint8)
-        h, w = dec.shape[:2]
-        if w <= h:
-            rw, rh = 64, max(1, round(h * 64 / w))
-        else:
-            rh, rw = 64, max(1, round(w * 64 / h))
+        rh = rw = 64  # exact-square resize
         top = np.int32([max((rh - 48) // 2, 0)])
         left = np.int32([max((rw - 48) // 2, 0)])
         ref = preprocess_batch([dec], 64, 48, top, left,
