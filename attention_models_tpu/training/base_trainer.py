@@ -247,6 +247,15 @@ class BaseTrainer:
         elif self._profiling and self.global_step >= start + self._profile_steps:
             self.stop_profiler()
 
+    def finish(self):
+        """Call at the end of train(): close a pending profiler window and
+        BLOCK on outstanding async checkpoint writes — returning while a
+        save streams in the background leaves a corrupt .orbax-checkpoint-tmp
+        when the interpreter shuts down."""
+        self.stop_profiler()
+        self.ckpt.wait()
+        log.info("Train finished!")
+
     def stop_profiler(self):
         """Close a pending profiler window (also called at train exit)."""
         if self._profiling:

@@ -46,15 +46,55 @@ class CheckpointManager:
         self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
-    def restore(self, state_template: Any, step: int | None = None) -> Any:
+    def restore(self, state_template: Any, step: int | None = None,
+                partial: bool = False) -> Any:
+        """``partial=True`` restores only the template's top-level keys out
+        of a larger on-disk state — what the inference CLIs need: trainers
+        save {step, params|g_params, opt, host_rng, ...} but inference only
+        wants the weights, and StandardRestore rejects a template that
+        doesn't cover the saved tree."""
         step = self.latest_step() if step is None else step
         if step is None:
             return None
+        if partial:
+            path = self._item_path(step)
+            ck = ocp.StandardCheckpointer()
+            disk = dict(ck.metadata(path).item_metadata)
+            missing = [k for k in state_template if k not in disk]
+            if missing:
+                raise KeyError(
+                    f"checkpoint at {path} has no keys {missing}; "
+                    f"on disk: {sorted(disk)}"
+                )
+
+            def sds(tree):
+                return jax.tree.map(
+                    lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), tree
+                )
+
+            full = {
+                k: (state_template[k] if k in state_template else sds(v))
+                for k, v in disk.items()
+            }
+            restored = ck.restore(path, full)
+            log.info("restored %s (partial) step=%d from %s",
+                     sorted(state_template), step, self._dir)
+            return {k: restored[k] for k in state_template}
         restored = self._mgr.restore(
             step, args=ocp.args.StandardRestore(state_template)
         )
         log.info("restored checkpoint step=%d from %s", step, self._dir)
         return restored
+
+    def _item_path(self, step: int) -> str:
+        cand = os.path.join(self._dir, str(step))
+        if not os.path.isdir(cand):  # zero-padded step-name formats
+            for name in sorted(os.listdir(self._dir)):
+                full = os.path.join(self._dir, name)
+                if os.path.isdir(full) and name.lstrip("0") == str(step):
+                    cand = full
+                    break
+        return os.path.join(cand, "default")
 
 
 def apply_param_patches(params: dict, patches: dict[str, Any]) -> dict:

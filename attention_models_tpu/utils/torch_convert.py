@@ -20,7 +20,13 @@ import numpy as np
 
 
 def state_dict_to_numpy(sd) -> dict[str, np.ndarray]:
-    return {k: np.asarray(v.detach().cpu().numpy()) for k, v in sd.items()}
+    def to_np(v):
+        v = v.detach().cpu()
+        if str(v.dtype) == "torch.bfloat16":  # Tensor.numpy() rejects bf16
+            v = v.float()
+        return np.asarray(v.numpy())
+
+    return {k: to_np(v) for k, v in sd.items()}
 
 
 def _lin(sd: Mapping, prefix: str, bias: bool = True) -> dict:

@@ -31,22 +31,28 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def _load_trained(cfg, model, example_args, ckpt):
-    import jax
-
-    init = jax.jit(model.init)
+def _restore_params(variables, ckpt, key):
+    """Replace ``variables['params']`` with the trained ``key`` subtree of
+    an orbax checkpoint (partial restore — trainers save the full train
+    state). Falls back to the given variables with a warning."""
     if ckpt and os.path.isdir(ckpt):
         from attention_models_tpu.utils.checkpoint import CheckpointManager
 
-        template = init(jax.random.key(0), *example_args)
         state = CheckpointManager(ckpt).restore(
-            {"step": 0, "g_params": template["params"]}
+            {"step": 0, key: variables["params"]}, partial=True
         )
         if state is not None:
-            return {"params": state["g_params"]}
+            return {"params": state[key]}
     print("warning: no checkpoint loaded; exporting random init",
           file=sys.stderr)
-    return init(jax.random.key(0), *example_args)
+    return variables
+
+
+def _load_trained(cfg, model, example_args, ckpt):
+    import jax
+
+    variables = jax.jit(model.init)(jax.random.key(0), *example_args)
+    return _restore_params(variables, ckpt, "g_params")
 
 
 def main():
@@ -85,8 +91,7 @@ def main():
                                        method=type(model).encode_imgs)
             example = (imgs,)
         elif args.surface == "decode":
-            n = model.apply(variables, method=type(model).num_patches)
-            idx = jnp.zeros((args.batch, int(n)), jnp.int32)
+            idx = jnp.zeros((args.batch, int(model.num_patches)), jnp.int32)
             fn = lambda i: model.apply(variables, i,
                                        method=type(model).decode_indices)
             example = (idx,)
@@ -96,17 +101,35 @@ def main():
     elif name in ("maskgit", "muse", "muse_vqgan", "parti"):
         if args.surface != "generate":
             raise SystemExit(f"model {name!r} exports the 'generate' surface")
+        from attention_models_tpu.utils.checkpoint import (
+            apply_param_patches,
+        )
+
         rng = jax.random.key(0)
-        if name == "maskgit":
+        if name == "parti":
+            from attention_models_tpu.models.parti import parti_generate
+            from attention_models_tpu.models.text_encoder import tokenize
+
+            ids = jnp.array(tokenize(["an example prompt"] * args.batch))
+            variables = jax.jit(functools.partial(
+                model.init, method=type(model).init_all))(
+                    jax.random.key(0), ids, imgs)
+            if _patches:  # pretrained tokenizer weights into the init
+                variables = apply_param_patches(variables, _patches)
+            variables = _restore_params(variables, args.ckpt, "params")
+            fn = functools.partial(parti_generate, model, variables)
+            example = (ids, rng)
+        elif name == "maskgit":
             variables = jax.jit(functools.partial(
                 model.init, method=type(model).init_all))(
                     jax.random.key(0), imgs, rng)
+            if _patches:
+                variables = apply_param_patches(variables, _patches)
+            variables = _restore_params(variables, args.ckpt, "params")
             fn = functools.partial(
-                model.apply, batch=args.batch, timesteps=args.timesteps,
-                method=type(model).generate)
-            example = (variables, rng)
-            # close params in: artifact takes only the rng key
-            fn, example = functools.partial(fn, variables), (rng,)
+                model.apply, variables, batch=args.batch,
+                timesteps=args.timesteps, method=type(model).generate)
+            example = (rng,)
         else:
             from attention_models_tpu.models.text_encoder import tokenize
 
@@ -114,6 +137,9 @@ def main():
             variables = jax.jit(functools.partial(
                 model.init, method=type(model).init_all))(
                     jax.random.key(0), ids, imgs, rng)
+            if _patches:
+                variables = apply_param_patches(variables, _patches)
+            variables = _restore_params(variables, args.ckpt, "params")
             fn = functools.partial(
                 model.apply, variables, timesteps=args.timesteps,
                 method=type(model).generate)

@@ -65,7 +65,7 @@ def main():
     )(jax.random.key(0), dummy, jax.random.key(1))
     if args.ckpt and os.path.isdir(args.ckpt):
         state = CheckpointManager(args.ckpt).restore(
-            {"step": 0, "params": variables["params"]}
+            {"step": 0, "params": variables["params"]}, partial=True
         )
         if state is not None:
             variables = {"params": state["params"]}
@@ -74,8 +74,7 @@ def main():
         if vq is not None:
             variables = apply_param_patches(variables, {"vq": vq})
 
-    import functools as _ft
-    gen = jax.jit(_ft.partial(
+    gen = jax.jit(functools.partial(
         model.apply, batch=1, num_masked=args.num_masked,
         timesteps=args.timesteps, approx_topk=args.approx_topk,
         method=MaskGitTransformer.generate,

@@ -62,7 +62,7 @@ def main():
     )(jax.random.key(0), ids, dummy, jax.random.key(1))
     if args.ckpt and os.path.isdir(args.ckpt):
         state = CheckpointManager(args.ckpt).restore(
-            {"step": 0, "params": variables["params"]}
+            {"step": 0, "params": variables["params"]}, partial=True
         )
         if state is not None:
             variables = {"params": state["params"]}
@@ -71,8 +71,7 @@ def main():
         if vq is not None:
             variables = apply_param_patches(variables, {"vq": vq})
 
-    import functools as _ft
-    imgs = jax.jit(_ft.partial(model.apply, timesteps=args.timesteps,
+    imgs = jax.jit(functools.partial(model.apply, timesteps=args.timesteps,
                                approx_topk=args.approx_topk,
                                method=MUSE.generate))(
         variables, ids, jax.random.key(2))

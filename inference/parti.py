@@ -54,7 +54,7 @@ def main():
     )(jax.random.key(0), ids, dummy)
     if args.ckpt and os.path.isdir(args.ckpt):
         state = CheckpointManager(args.ckpt).restore(
-            {"step": 0, "params": variables["params"]}
+            {"step": 0, "params": variables["params"]}, partial=True
         )
         if state is not None:
             variables = {"params": state["params"]}

@@ -51,7 +51,7 @@ def load_params(model, ckpt_path: str, depth: int, example_imgs):
 
         template = jax.jit(model.init)(jax.random.key(0), example_imgs)
         state = CheckpointManager(ckpt_path).restore(
-            {"step": 0, "g_params": template["params"]}
+            {"step": 0, "g_params": template["params"]}, partial=True
         )
         if state is not None:
             return {"params": state["g_params"]}

@@ -46,10 +46,19 @@ def main():
         variables = {"params": convert_vqgan(state_dict_to_numpy(sd))}
     elif args.ckpt and os.path.isdir(args.ckpt):
         state = CheckpointManager(args.ckpt).restore(
-            {"step": 0, "g_params": variables["params"]}
+            {"step": 0, "g_params": variables["params"]}, partial=True
         )
         if state is not None:
             variables = {"params": state["g_params"]}
+        else:
+            print(f"warning: no checkpoint found in {args.ckpt}; "
+                  f"using RANDOM init", file=sys.stderr)
+    elif args.ckpt:
+        raise SystemExit(
+            f"--ckpt {args.ckpt!r} is neither an existing .pt file nor an "
+            f"orbax checkpoint dir — refusing to silently reconstruct with "
+            f"random weights"
+        )
 
     indices = jax.jit(lambda v, x: model.apply(v, x, method=VQGAN.encode_imgs))(variables, imgs)
     rec = jax.jit(lambda v, i: model.apply(v, i, method=VQGAN.decode_indices))(variables, indices)

@@ -25,8 +25,14 @@ LEVELS = {
 
 def main(argv):
     cfg = config_from_cli(argv)
+    level_name = str(cfg.experiment.get("log_level", "info")).lower()
+    if level_name not in LEVELS:
+        raise SystemExit(
+            f"unknown experiment.log_level {level_name!r}; "
+            f"valid: {sorted(LEVELS)}"
+        )
     logging.basicConfig(
-        level=LEVELS[cfg.experiment.get("log_level", "info")],
+        level=LEVELS[level_name],
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
     runtime_init()

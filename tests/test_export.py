@@ -81,3 +81,91 @@ def test_export_cli_runs(tmp_path):
     res = m.header["meta"]["resolution"]
     got = m.call(jnp.zeros((1, 3, res, res), jnp.float32))
     assert got.shape[0] == 1
+
+
+def test_trained_checkpoint_loads_into_inference_template(tmp_path):
+    """The CLIs restore {step, params|g_params} out of the trainer's FULL
+    saved state (opt, host_rng, ...). Regression: StandardRestore rejects a
+    template that doesn't cover the on-disk tree, so without partial
+    restore no trained checkpoint could ever be loaded by any inference
+    CLI."""
+    from attention_models_tpu.utils.checkpoint import CheckpointManager
+
+    import optax
+
+    model = tiny_vitvqgan()
+    imgs = jnp.array(np.random.RandomState(0).rand(2, 3, 32, 32), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.key(0), imgs)
+    tx = optax.adam(1e-3)
+    full_state = {
+        "step": 7,
+        "g_params": variables["params"],
+        "opt": tx.init(variables["params"]),
+        "host_rng": np.arange(4, dtype=np.uint32),
+    }
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(7, full_state, wait=True)
+
+    # the inference-CLI template: weights only
+    fresh = jax.jit(model.init)(jax.random.key(1), imgs)
+    state = CheckpointManager(str(tmp_path / "ckpt")).restore(
+        {"step": 0, "g_params": fresh["params"]}, partial=True
+    )
+    assert state is not None and int(np.asarray(state["step"])) == 7
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        state["g_params"], variables["params"],
+    )
+
+    # unknown template keys fail loudly, not silently
+    import pytest
+
+    with pytest.raises(KeyError):
+        CheckpointManager(str(tmp_path / "ckpt")).restore(
+            {"nope": 0}, partial=True
+        )
+
+
+def test_export_cli_generate_surface_loads_checkpoint(tmp_path):
+    """--surface generate must bake TRAINED weights (regression: the
+    generator branch ignored --ckpt and exported random init silently)."""
+    from attention_models_tpu.utils.checkpoint import CheckpointManager
+
+    # fabricate a "trained" checkpoint for the tiny maskgit overfit config
+    import functools
+    import os
+
+    from attention_models_tpu.models.factory import build_model
+    from attention_models_tpu.utils.config import load_config
+
+    cfg = load_config("cfg_exp/maskgit_overfit.yaml")
+    model, _ = build_model(cfg)
+    res = int(cfg.dataset.preprocessing.resolution)
+    imgs = jnp.zeros((1, 3, res, res), jnp.float32)
+    variables = jax.jit(functools.partial(
+        model.init, method=type(model).init_all))(
+            jax.random.key(3), imgs, jax.random.key(4))
+    marked = jax.tree.map(lambda x: x, variables["params"])
+    ckpt_dir = str(tmp_path / "ckpt")
+    CheckpointManager(ckpt_dir).save(
+        1, {"step": 1, "params": marked, "host_rng": np.arange(4, dtype=np.uint32)},
+        wait=True,
+    )
+
+    out = str(tmp_path / "g.amtpu")
+    r = subprocess.run(
+        [sys.executable, "inference/export.py",
+         "--config=cfg_exp/maskgit_overfit.yaml", "--surface=generate",
+         "--batch=1", "--timesteps=2", f"--ckpt={ckpt_dir}",
+         f"--output={out}"],
+        capture_output=True, text=True, timeout=600,
+        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin",
+             "HOME": "/root"},
+        cwd=os.getcwd(),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "exporting random init" not in r.stderr, "checkpoint was not loaded"
+    m = load_fn(out)
+    img = m.call(jax.random.key(9))
+    assert img.shape[0] == 1 and np.isfinite(np.asarray(img)).all()
