@@ -15,7 +15,12 @@ from einops import rearrange
 
 from attention_models_tpu.ops.attention import multihead_attention
 from attention_models_tpu.ops.flash_attention import flash_attention, flash_supported
-from attention_models_tpu.ops.moe import _combine_weights, moe_linear_scatter, topk_gate
+from attention_models_tpu.ops.moe import (
+    _combine_weights,
+    moe_linear_scatter,
+    resolve_moe_impl,
+    topk_gate,
+)
 
 
 from attention_models_tpu.parallel.mesh import (
@@ -68,6 +73,15 @@ def _dispatch_attention(
     shard_map with heads over the model axis."""
     b, tq, h, d = q.shape
     tk = k.shape[1]
+    if causal and tq > tk:
+        # reject on BOTH paths, not just flash: the bottom-right-aligned
+        # mask leaves the first tq-tk rows with no visible keys — flash
+        # would NaN, the XLA path would silently go uniform over -1e9
+        from attention_models_tpu.ops.flash_attention import (
+            _check_causal_lengths,
+        )
+
+        _check_causal_lengths(tq, tk)
     if use_flash is None:
         sp_mesh = _ambient_sp_mesh()
         if sp_mesh is not None:
@@ -112,6 +126,12 @@ def _dispatch_attention(
             use_flash = False
         else:
             use_flash = flash_ok
+    elif use_flash and (causal_mask is not None or context_mask is not None):
+        # explicit opt-in cannot override correctness: the Pallas kernels
+        # apply only the built-in causal pattern, not arbitrary mask
+        # tensors — honoring the masks on the XLA path beats silently
+        # attending to padding/future tokens
+        use_flash = False
     if use_flash:
         if kv_packed is not None and kv_packed.shape[0] == q.shape[0]:
             # k/v straight from the fused wkv projection — no strided
@@ -344,7 +364,7 @@ class SwitchHeadAttention(nn.Module):
     sel_experts: int = 2
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
-    moe_impl: str = "dense"  # "dense" | "scatter" for the output MoE
+    moe_impl: str = "auto"  # "auto" | "dense" | "scatter" for the output MoE
     capacity_factor: float | None = None
 
     @nn.compact
@@ -405,11 +425,15 @@ class SwitchHeadAttention(nn.Module):
             (e, d, self.dim),
             jnp.float32,
         )
-        if self.moe_impl == "scatter":
+        # shared 'auto' cutover (+ impl validation): the dense combine's
+        # (b,t,h,E,dim) intermediate is a 32x blow-up at ViTMoE's E=32
+        impl = resolve_moe_impl(self.moe_impl, e)
+        if impl == "scatter":
             y = moe_linear_scatter(
                 out, experts_out, sel_o, None,
                 capacity_factor=self.capacity_factor,
-            )  # (b, t, h, dim)
+            ).astype(jnp.float32)  # (b, t, h, dim); head sum in fp32,
+            # matching the dense branch's accumulation precision
         else:
             ox = jnp.einsum(
                 "bthd,edD->btheD", out.astype(jnp.float32), experts_out,

@@ -121,11 +121,10 @@ class MaskGitTransformer(nn.Module):
 
     # -- training -------------------------------------------------------------
     def __call__(self, imgs, rng: jax.Array, deterministic: bool = False):
-        """Training loss. ``rng`` drives masking (+dropout when not
-        deterministic)."""
+        """Training loss. ``rng`` drives the masking only — dropout noise
+        comes from the 'dropout' rng passed to ``apply()``."""
         indices = jax.lax.stop_gradient(self.vq.encode_imgs(imgs))
-        mask_rng, drop_rng = jax.random.split(rng)
-        mask = random_mask(mask_rng, *indices.shape)
+        mask = random_mask(rng, *indices.shape)
         inputs, targets = mask_fill_inputs_and_targets(
             indices, mask, self.mask_token_id
         )

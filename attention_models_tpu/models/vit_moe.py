@@ -31,7 +31,9 @@ class ViTMoEBlock(nn.Module):
         x = x + SwitchHeadAttention(
             self.dim, self.n_heads, self.d_head,
             num_experts=self.n_experts, sel_experts=self.sel_experts,
-            dropout=self.dropout, dtype=self.dtype, name="self_attn",
+            dropout=self.dropout, dtype=self.dtype,
+            moe_impl=self.moe_impl, capacity_factor=self.capacity_factor,
+            name="self_attn",
         )(h, context_mask=context_mask, deterministic=deterministic)
         h = LayerNorm(self.dim, dtype=self.dtype, name="norm2")(x)
         x = x + MoELayer(

@@ -340,7 +340,6 @@ def _flash_bwd_dkv_kernel(
     # residual contract) converts on the cheap (bq, 1) side.
     fast = q_ref.dtype != jnp.float32
     s_scale = scale * LOG2E if fast else scale
-    exp_fn = jnp.exp2 if fast else jnp.exp
 
     num_q_blocks = pl.cdiv(tq, block_q)
     q_start = 0
@@ -875,9 +874,26 @@ def flash_attention(
     shape on v5e (0.82 ms vs 0.90-1.05 for 1024x1024/256x1024 at b8 h8):
     two q blocks per (b·h) program let the grid pipeline DMA against the
     VPU-bound softmax."""
+    if causal:
+        _check_causal_lengths(q.shape[2], k.shape[2])
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     return _flash(causal, scale, block_q, block_k, interpret, q, k, v)
+
+
+def _check_causal_lengths(tq: int, tk: int) -> None:
+    """The causal mask is bottom-right aligned (cols <= row + tk - tq, same
+    as ops.attention.make_causal_mask). With tq > tk the first tq - tk query
+    rows see ZERO keys, so the online softmax divides 0/0 and emits NaN
+    silently. No model hits this (causal is self-attention or tq=1 decode);
+    fail loudly at trace time rather than NaN at run time."""
+    if tq > tk:
+        raise ValueError(
+            f"causal flash attention requires tq <= tk (got tq={tq}, "
+            f"tk={tk}): rows before tq-tk have no visible keys under the "
+            f"bottom-right-aligned mask. Use the XLA path with an explicit "
+            f"mask for that shape."
+        )
 
 
 def flash_supported(
@@ -1139,6 +1155,8 @@ def flash_attention_bthd(
 ) -> jnp.ndarray:
     """Flash attention over (b, t, h, d) tensors — the projections' natural
     layout, so no transpose copies at the kernel boundary. Differentiable."""
+    if causal:
+        _check_causal_lengths(q.shape[1], k.shape[1])
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     return _flash_bthd(causal, scale, block_q, block_k, interpret, q, k, v)
@@ -1287,6 +1305,8 @@ def flash_attention_bthd_kv(
     re-concatenate the cotangents in backward) — real HBM copies at every
     layer; this entry point moves the split into VMEM lane slices.
     Differentiable (packed single-pass backward)."""
+    if causal:
+        _check_causal_lengths(q.shape[1], kv.shape[1])
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     return _flash_bthd_kv(causal, scale, block_q, block_k, interpret, q, kv)

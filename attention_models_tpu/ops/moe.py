@@ -90,7 +90,10 @@ def moe_linear_scatter(
     if capacity_factor is None:
         capacity = n * k  # dropless worst case
     else:
-        capacity = max(int(capacity_factor * n * k / e), 1)
+        # ceil, matching moe_linear_ep_local — truncation would make the
+        # single-chip path drop more tokens than the EP path at the same
+        # capacity_factor
+        capacity = max(math.ceil(capacity_factor * n * k / e), 1)
 
     # position of each (token, slot) within its expert bucket
     sel_flat = sel.reshape(-1)  # (n*k,)
@@ -123,6 +126,17 @@ def moe_linear_scatter(
     return out.reshape(*lead, -1).astype(x.dtype)
 
 
+def resolve_moe_impl(impl: str, num_experts: int) -> str:
+    """'auto' cutover shared by moe_linear and SwitchHeadAttention: the
+    dense masked-combine materializes an E-wide intermediate, so it only
+    wins for small expert counts; validates unknown impl strings."""
+    if impl == "auto":
+        return "dense" if num_experts <= 8 else "scatter"
+    if impl not in ("dense", "scatter"):
+        raise ValueError(f"unknown moe impl {impl!r}")
+    return impl
+
+
 def moe_linear(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -132,8 +146,7 @@ def moe_linear(
     impl: str = "auto",
     capacity_factor: float | None = None,
 ) -> jnp.ndarray:
-    if impl == "auto":
-        impl = "dense" if w.shape[0] <= 8 else "scatter"
+    impl = resolve_moe_impl(impl, w.shape[0])
     if impl == "dense":
         return moe_linear_dense(x, w, selected, weights, b)
     if impl == "scatter":

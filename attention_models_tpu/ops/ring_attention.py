@@ -103,10 +103,13 @@ def _ring_backward(
             block_q=block_q, block_k=block_k, interpret=interpret,
         )
         if causal and s > 0:
-            live = (my >= s).astype(jnp.float32)
-            dq_i = dq_i * live
-            dk_i = dk_i * live
-            dv_i = dv_i * live
+            # select, don't multiply: the dead partials were computed with
+            # causal=False against the GLOBAL lse, so p = exp(s - lse) can
+            # overflow to Inf — 0.0 * Inf would turn the discard into NaN
+            live = my >= s
+            dq_i = jnp.where(live, dq_i, 0.0)
+            dk_i = jnp.where(live, dk_i, 0.0)
+            dv_i = jnp.where(live, dv_i, 0.0)
         dq = dq + dq_i.astype(jnp.float32)
         dk_acc = dk_acc + dk_i.astype(jnp.float32)
         dv_acc = dv_acc + dv_i.astype(jnp.float32)

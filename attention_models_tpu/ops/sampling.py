@@ -40,14 +40,24 @@ def filter_logits(
     ``approx=True`` finds the threshold by counting bisection
     (kth_value_bisect) instead of a TPU sort — full recall of the top-k
     set (a few borderline extras can survive value ties). Exact mode
-    matches the reference bit-for-bit."""
+    matches the reference's topk+scatter semantics: exactly k classes
+    survive with exactly the reference's surviving values; when several
+    classes tie at the k-th value, lax.top_k keeps the lowest-index ones
+    (torch.topk's tie order is implementation-defined) — tied classes have
+    equal logits, so the sampling distribution over values is unchanged."""
     n_classes = logits.shape[-1]
     k = math.ceil((1 - p) * n_classes)
     if approx:
-        kth = kth_value_bisect(logits, k)[..., None].astype(logits.dtype)
-    else:
-        kth = jax.lax.top_k(logits, k)[0][..., -1:]
-    return jnp.where(logits >= kth, logits, -jnp.inf)
+        # compare in fp32 — the bisection threshold sits just BELOW the
+        # true k-th value, and rounding it to bf16 could round it up past
+        # that value, dropping real top-k members
+        kth = kth_value_bisect(logits, k)[..., None]
+        keep = logits.astype(jnp.float32) >= kth
+        return jnp.where(keep, logits, -jnp.inf)
+    vals, idx = jax.lax.top_k(logits, k)
+    return jnp.put_along_axis(
+        jnp.full_like(logits, -jnp.inf), idx, vals, axis=-1, inplace=False
+    )
 
 
 def gumbel_argmax(

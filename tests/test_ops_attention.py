@@ -303,3 +303,46 @@ def test_flash_bthd_kv_packed_matches_separate():
         for a, bb in zip(gp, gs):
             np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                        atol=1e-5, rtol=1e-5)
+
+
+def test_flash_causal_rejects_tq_gt_tk():
+    """Regression: causal with tq > tk leaves the first tq-tk rows with zero
+    visible keys under the bottom-right-aligned mask — the kernel would
+    silently emit NaN (0/0). Must fail loudly at trace time instead."""
+    import pytest
+
+    from attention_models_tpu.ops.flash_attention import (
+        flash_attention_bthd,
+        flash_attention_bthd_kv,
+    )
+
+    q = jnp.array(_rand(1, 2, 256, 32, seed=40))
+    k = jnp.array(_rand(1, 2, 128, 32, seed=41))
+    with pytest.raises(ValueError, match="tq <= tk"):
+        flash_attention(q, k, k, causal=True, interpret=True)
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    with pytest.raises(ValueError, match="tq <= tk"):
+        flash_attention_bthd(qt, kt, kt, causal=True, interpret=True)
+    with pytest.raises(ValueError, match="tq <= tk"):
+        flash_attention_bthd_kv(
+            qt, jnp.stack([kt, kt], axis=2), causal=True, interpret=True
+        )
+
+
+def test_explicit_use_flash_still_honors_masks():
+    """Regression: SoftmaxAttention(use_flash=True) called with explicit
+    mask tensors routed to the mask-less flash kernel, silently attending to
+    padding/future tokens. The dispatch must fall back to the XLA path
+    (which also makes this test runnable on CPU — the Pallas kernel would
+    simply crash here)."""
+    from attention_models_tpu.models.attention import SoftmaxAttention
+
+    x = jnp.array(np.random.RandomState(42).randn(2, 128, 32).astype(np.float32))
+    cmask = jnp.array(np.random.RandomState(43).rand(2, 128) > 0.3)
+    flash_mod = SoftmaxAttention(dim=32, num_heads=2, dim_head=16, use_flash=True)
+    xla_mod = SoftmaxAttention(dim=32, num_heads=2, dim_head=16, use_flash=False)
+    params = xla_mod.init(jax.random.key(0), x)  # init maskless via XLA
+    got = flash_mod.apply(params, x, context_mask=cmask)
+    want = xla_mod.apply(params, x, context_mask=cmask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)

@@ -95,3 +95,18 @@ def test_scatter_capacity_drops_only_overflow_tokens():
     ))
     np.testing.assert_allclose(out[0, :4], x[0, :4], rtol=1e-6)
     np.testing.assert_array_equal(out[0, 4:], np.zeros((4, d), np.float32))
+
+
+def test_scatter_capacity_rounds_up_like_ep_path():
+    """Regression: scatter sized capacity with truncating int() while the EP
+    path uses ceil — cf=1.0, n=5, k=1, e=2 must give capacity ceil(2.5)=3,
+    so token 2 (the 3rd routed to expert 0) survives."""
+    n, d = 5, 4
+    x = np.arange(1, n * d + 1, dtype=np.float32).reshape(1, n, d)
+    w = np.stack([np.eye(d, dtype=np.float32), np.zeros((d, d), np.float32)])
+    sel = jnp.zeros((1, n, 1), jnp.int32)  # everyone picks expert 0
+    out = np.asarray(moe_linear_scatter(
+        jnp.array(x), jnp.array(w), sel, None, capacity_factor=1.0
+    ))
+    np.testing.assert_allclose(out[0, :3], x[0, :3], rtol=1e-6)
+    np.testing.assert_array_equal(out[0, 3:], np.zeros((2, d), np.float32))

@@ -258,3 +258,38 @@ def test_sample_epilogue_fused_no_cfg():
     want = jnp.take_along_axis(sm, pred[..., None], axis=-1)[..., 0]
     np.testing.assert_allclose(np.asarray(probs), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_filter_logits_exact_keeps_exactly_k_on_ties():
+    """Regression: exact mode must keep exactly k survivors like the
+    reference's topk+scatter (threshold-compare kept every tied class,
+    letting sampling pick MORE classes than the reference build could).
+    Tie selection among equal values is implementation-defined in torch, so
+    the contract is count + surviving values, not indices."""
+    rs = np.random.RandomState(7)
+    # coarse grid forces many value collisions, including at the k-th value
+    logits = (np.round(rs.randn(2, 5, 40) * 2) / 2).astype(np.float32)
+    k = math.ceil((1 - 0.9) * 40)
+    ours = np.asarray(filter_logits(jnp.array(logits), p=0.9))
+    ref = torch_filter_logits(logits, p=0.9)
+    np.testing.assert_array_equal(
+        np.isfinite(ours).sum(axis=-1), np.full((2, 5), k)
+    )
+    np.testing.assert_array_equal(
+        np.sort(ours, axis=-1)[..., -k:], np.sort(ref, axis=-1)[..., -k:]
+    )
+
+
+def test_filter_logits_approx_full_recall_bf16():
+    """Regression: the bisection threshold must be compared in fp32 —
+    rounding it to bf16 could round it up past the true k-th value and drop
+    real top-k members."""
+    rs = np.random.RandomState(11)
+    logits = jnp.array(rs.randn(4, 256).astype(np.float32)).astype(jnp.bfloat16)
+    k = math.ceil((1 - 0.9) * 256)
+    out = np.asarray(
+        filter_logits(logits, p=0.9, approx=True).astype(jnp.float32)
+    )
+    vals = np.asarray(logits.astype(jnp.float32))
+    kth = np.sort(vals, axis=-1)[:, -k]  # true k-th largest per row
+    assert np.all(np.isfinite(out)[vals >= kth[:, None]])
