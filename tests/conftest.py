@@ -31,9 +31,15 @@ def _reset_ambient_mesh():
     later tests, whose models then dispatch to sharded paths on a stale
     mesh (or fail placement when device sets differ)."""
     yield
-    from jax._src import mesh as mesh_lib
-
     try:
+        from jax._src import mesh as mesh_lib
+
         jax.sharding.set_mesh(mesh_lib.empty_concrete_mesh)
-    except Exception:
-        pass
+    except Exception as e:  # private API — make a JAX-upgrade break VISIBLE
+        import warnings
+
+        warnings.warn(
+            f"ambient-mesh reset failed ({e!r}) — jax moved "
+            "empty_concrete_mesh? Trainer tests may leak their mesh into "
+            "later tests."
+        )

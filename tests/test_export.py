@@ -4,6 +4,7 @@ live model bit-for-bit. The reference's only deployment artifact is a
 pickled state_dict requiring the full model zoo at load time
 (/root/reference/trainers/utils/base_trainer.py:92-107)."""
 
+import os
 import subprocess
 import sys
 
@@ -13,6 +14,9 @@ import numpy as np
 
 from attention_models_tpu.models.vitvqgan import ViTVQGAN
 from attention_models_tpu.utils.export import export_fn, load_fn
+
+# CLI subprocess tests must not depend on the pytest process CWD
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def tiny_vitvqgan():
@@ -74,6 +78,7 @@ def test_export_cli_runs(tmp_path):
         capture_output=True, text=True, timeout=600,
         env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin",
              "HOME": "/root"},
+        cwd=REPO,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     m = load_fn(out)
@@ -129,43 +134,56 @@ def test_trained_checkpoint_loads_into_inference_template(tmp_path):
 
 def test_export_cli_generate_surface_loads_checkpoint(tmp_path):
     """--surface generate must bake TRAINED weights (regression: the
-    generator branch ignored --ckpt and exported random init silently)."""
-    from attention_models_tpu.utils.checkpoint import CheckpointManager
-
-    # fabricate a "trained" checkpoint for the tiny maskgit overfit config
+    generator branch ignored --ckpt and exported random init silently).
+    The CLI's own init is deterministic (jax.random.key(0)), so exporting
+    with and without --ckpt must produce DIFFERENT generate outputs —
+    identical outputs mean the checkpoint was dropped."""
     import functools
-    import os
 
     from attention_models_tpu.models.factory import build_model
+    from attention_models_tpu.utils.checkpoint import CheckpointManager
     from attention_models_tpu.utils.config import load_config
 
-    cfg = load_config("cfg_exp/maskgit_overfit.yaml")
+    cfg = load_config(os.path.join(REPO, "cfg_exp/maskgit_overfit.yaml"))
     model, _ = build_model(cfg)
     res = int(cfg.dataset.preprocessing.resolution)
     imgs = jnp.zeros((1, 3, res, res), jnp.float32)
     variables = jax.jit(functools.partial(
         model.init, method=type(model).init_all))(
             jax.random.key(3), imgs, jax.random.key(4))
-    marked = jax.tree.map(lambda x: x, variables["params"])
+    # distinguishable "trained" weights: scaled away from any fresh init
+    marked = jax.tree.map(lambda x: 3.0 * x, variables["params"])
     ckpt_dir = str(tmp_path / "ckpt")
     CheckpointManager(ckpt_dir).save(
         1, {"step": 1, "params": marked, "host_rng": np.arange(4, dtype=np.uint32)},
         wait=True,
     )
 
-    out = str(tmp_path / "g.amtpu")
-    r = subprocess.run(
-        [sys.executable, "inference/export.py",
-         "--config=cfg_exp/maskgit_overfit.yaml", "--surface=generate",
-         "--batch=1", "--timesteps=2", f"--ckpt={ckpt_dir}",
-         f"--output={out}"],
-        capture_output=True, text=True, timeout=600,
-        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin",
-             "HOME": "/root"},
-        cwd=os.getcwd(),
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
+    def export(out, *extra):
+        r = subprocess.run(
+            [sys.executable, "inference/export.py",
+             "--config=cfg_exp/maskgit_overfit.yaml", "--surface=generate",
+             "--batch=1", "--timesteps=2", f"--output={out}", *extra],
+            capture_output=True, text=True, timeout=600,
+            env={"JAX_PLATFORMS": "cpu",
+                 "PATH": "/usr/bin:/bin:/usr/local/bin", "HOME": "/root"},
+            cwd=REPO,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r
+
+    out_ckpt = str(tmp_path / "g.amtpu")
+    r = export(out_ckpt, f"--ckpt={ckpt_dir}")
     assert "exporting random init" not in r.stderr, "checkpoint was not loaded"
-    m = load_fn(out)
+    m = load_fn(out_ckpt)
     img = m.call(jax.random.key(9))
     assert img.shape[0] == 1 and np.isfinite(np.asarray(img)).all()
+
+    out_fresh = str(tmp_path / "fresh.amtpu")
+    r = export(out_fresh)
+    assert "exporting random init" in r.stderr  # the cooperative warning
+    img_fresh = load_fn(out_fresh).call(jax.random.key(9))
+    assert not np.array_equal(np.asarray(img), np.asarray(img_fresh)), (
+        "generate output is identical with and without --ckpt: the trained "
+        "weights were not baked into the export"
+    )

@@ -153,6 +153,15 @@ def test_batch_transform_accepts_bytes(tmp_path):
     out = bt([data, dec])
     assert out.shape == (2, 3, 48, 48)
     assert np.abs(out[0] - out[1]).max() <= (3.0 / 255 + 1e-6)
-    # corrupt bytes take the PIL fallback and must raise cleanly inside it
     out2 = bt([data, dec, arr])
     assert out2.shape == (3, 3, 48, 48)
+    # bytes the native libjpeg decoder rejects (a PNG) must take the
+    # per-item PIL fallback and come out pixel-identical to the array path
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    out3 = bt([buf.getvalue(), arr])
+    assert out3.shape == (2, 3, 48, 48)
+    np.testing.assert_allclose(out3[0], out3[1], atol=1e-6)
+    # bytes NOTHING can decode raise cleanly (PIL's error), not segfault
+    with pytest.raises(Exception):
+        bt([b"not an image at all"])

@@ -85,13 +85,9 @@ def test_vqgan_cnn_full_parity():
 
 
 def test_discriminator_parity_eval_mode():
-    import importlib.util
-
-    spec = importlib.util.spec_from_file_location(
-        "ref_discriminator", "/root/reference/models/utils/discriminator.py"
-    )
-    ref = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(ref)
+    # through ref_loader so a missing reference checkout SKIPS like every
+    # other parity test instead of erroring
+    ref = load_ref_module("models.utils.discriminator")
     torch.manual_seed(2)
     m = ref.NLayerDiscriminator(input_nc=3, ndf=16, n_layers=3).eval()
     imgs = torch.rand(2, 3, 64, 64)
