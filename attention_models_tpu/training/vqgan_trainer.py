@@ -4,11 +4,13 @@
 Structure per batch mirrors the reference exactly: a discriminator phase
 (hinge loss + WGAN-GP on the interpolated images) followed by a generator
 phase (codebook + 0.1·adv + w·LPIPS + w·L1 + L2, cfg/vitvqgan.yaml:66-69) —
-each phase its own jitted step. The reference's Python-side
-``requires_grad_`` flipping becomes two separate loss functions
-differentiated wrt their own params (the other side is simply not
-differentiated); DDP-allreduce-in-backward becomes data-sharded batches under
-jit (XLA inserts the gradient psum).
+both fused into ONE jitted step that forwards the generator once (the
+reference re-forwards it in the G phase, trainers/vitgqgan.py:148-189, but
+g_params don't change between phases, so sharing the forward via jax.vjp is
+bit-equivalent). The reference's Python-side ``requires_grad_`` flipping
+becomes two separate loss functions differentiated wrt their own params (the
+other side is simply not differentiated); DDP-allreduce-in-backward becomes
+data-sharded batches under jit (XLA inserts the gradient psum).
 
 Known deviations (documented): GP runs the discriminator with eval-mode
 BatchNorm statistics (second-order autodiff through mutable batch stats is
@@ -95,14 +97,23 @@ class VQGANTrainer(BaseTrainer):
             jax.jit, donate_argnums=(0,),
             out_shardings=(state_sh, self.replicated),
         )
-        def d_step(state, img, rng):
-            rec, _ = model_apply({"params": state["g_params"]}, img)
-            rec = jax.lax.stop_gradient(rec)
+        def train_step(state, img, rng):
+            # ONE generator forward serves both phases. The reference
+            # re-forwards the (unchanged) generator in its G phase
+            # (trainers/vitgqgan.py:148-189); since g_params don't move
+            # between phases, rec is identical — we keep the forward's
+            # vjp residuals and push the G-loss cotangent back through
+            # them instead of paying the forward twice.
+            (rec, codebook_loss), g_vjp = jax.vjp(
+                lambda p: model_apply({"params": p}, img), state["g_params"]
+            )
+            rec_sg = jax.lax.stop_gradient(rec)
 
-            def loss_fn(d_params):
+            # ---- D phase (hinge + WGAN-GP, reference order: D first) ----
+            def d_loss_fn(d_params):
                 fake, upd = discr_apply(
                     {"params": d_params, "batch_stats": state["d_stats"]},
-                    rec, train=True, mutable=["batch_stats"],
+                    rec_sg, train=True, mutable=["batch_stats"],
                 )
                 real, upd = discr_apply(
                     {"params": d_params, "batch_stats": upd["batch_stats"]},
@@ -114,32 +125,21 @@ class VQGANTrainer(BaseTrainer):
                          "batch_stats": state["d_stats"]},
                         x, train=False,
                     ),
-                    rng, img, rec,
+                    rng, img, rec_sg,
                 )
                 loss = hinge_d_loss(fake, real) + gp
                 return loss, (upd["batch_stats"], gp)
 
-            (d_loss, (stats, gp)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
+            (d_loss, (stats, gp)), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True
             )(state["d_params"])
-            updates, d_opt = self.d_tx.update(
-                grads, state["d_opt"], state["d_params"]
+            d_updates, d_opt = self.d_tx.update(
+                d_grads, state["d_opt"], state["d_params"]
             )
-            state = {
-                **state,
-                "d_params": optax.apply_updates(state["d_params"], updates),
-                "d_stats": stats,
-                "d_opt": d_opt,
-            }
-            return state, {"d_loss": d_loss, "gp": gp}
+            d_params = optax.apply_updates(state["d_params"], d_updates)
 
-        @functools.partial(
-            jax.jit, donate_argnums=(0,),
-            out_shardings=(state_sh, self.replicated),
-        )
-        def g_step(state, img):
-            def loss_fn(g_params):
-                rec, codebook_loss = model_apply({"params": g_params}, img)
+            # ---- G phase on the same rec, vs the just-updated D ----
+            def g_loss_fn(rec, codebook_loss):
                 l1 = jnp.mean(jnp.abs(rec - img))
                 l2 = jnp.mean((rec - img) ** 2)
                 per = jnp.mean(
@@ -147,8 +147,7 @@ class VQGANTrainer(BaseTrainer):
                                 img.astype(jnp.float32))
                 )
                 fake = discr_apply(
-                    {"params": state["d_params"],
-                     "batch_stats": state["d_stats"]},
+                    {"params": d_params, "batch_stats": stats},
                     rec, train=False,
                 )
                 adv = g_nonsaturating_loss(fake)
@@ -164,21 +163,25 @@ class VQGANTrainer(BaseTrainer):
                     "per_loss": per, "logit_laplace": l1, "l2_loss": l2,
                 }
 
-            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state["g_params"]
-            )
-            updates, g_opt = self.g_tx.update(
-                grads, state["g_opt"], state["g_params"]
+            (_, aux), out_bar = jax.value_and_grad(
+                g_loss_fn, argnums=(0, 1), has_aux=True
+            )(rec, codebook_loss)
+            (g_grads,) = g_vjp(out_bar)
+            g_updates, g_opt = self.g_tx.update(
+                g_grads, state["g_opt"], state["g_params"]
             )
             state = {
                 **state,
-                "g_params": optax.apply_updates(state["g_params"], updates),
+                "g_params": optax.apply_updates(state["g_params"], g_updates),
                 "g_opt": g_opt,
+                "d_params": d_params,
+                "d_stats": stats,
+                "d_opt": d_opt,
                 "step": state["step"] + 1,
             }
-            return state, aux
+            return state, {"d_loss": d_loss, "gp": gp, **aux}
 
-        self._d_step, self._g_step = d_step, g_step
+        self._train_step = train_step
 
         @jax.jit
         def recon(g_params, img):
@@ -201,10 +204,9 @@ class VQGANTrainer(BaseTrainer):
             for it, img in enumerate(device_prefetch(self.train_dl, place)):
                 if epoch == start_epoch and it < skip:
                     continue  # mid-epoch resume: already-trained batches
-                self.state, d_metrics = self._d_step(self.state, img,
-                                                     self.rng())
-                self.state, g_metrics = self._g_step(self.state, img)
-                self.run_cadence({**d_metrics, **g_metrics})
+                self.state, metrics = self._train_step(self.state, img,
+                                                       self.rng())
+                self.run_cadence(metrics)
                 if self.check_preemption(self.state):
                     return
         self.finish()

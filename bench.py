@@ -143,26 +143,28 @@ def _train_step_bench(log, time_fn, model, params):
 
     @jax.jit
     def gan_step(g_params, g_opt, d_params, d_stats, d_opt, imgs, rng):
-        # D phase
-        rec, _ = model.apply({"params": g_params}, imgs)
-        rec = jax.lax.stop_gradient(rec)
+        # ONE generator forward shared by both phases (vjp residuals kept
+        # for the G backward) — matches VQGANTrainer's fused train_step.
+        (rec, cb), g_vjp = jax.vjp(
+            lambda p: model.apply({"params": p}, imgs), g_params)
+        rec_sg = jax.lax.stop_gradient(rec)
 
+        # D phase
         def d_loss_fn(dp):
-            fake = discr.apply({"params": dp, "batch_stats": d_stats}, rec)
+            fake = discr.apply({"params": dp, "batch_stats": d_stats}, rec_sg)
             real = discr.apply({"params": dp, "batch_stats": d_stats}, imgs)
             gp = gradient_penalty(
                 lambda x: discr.apply(
                     {"params": dp, "batch_stats": d_stats}, x),
-                rng, imgs, rec)
+                rng, imgs, rec_sg)
             return hinge_d_loss(fake, real) + gp
 
         d_grads = jax.grad(d_loss_fn)(d_params)
         d_updates, d_opt = tx.update(d_grads, d_opt, d_params)
         d_params = optax.apply_updates(d_params, d_updates)
 
-        # G phase
-        def g_loss_fn(gp_):
-            rec, cb = model.apply({"params": gp_}, imgs)
+        # G phase on the same rec, backward through the saved vjp
+        def g_loss_fn(rec, cb):
             l1 = jnp.mean(jnp.abs(rec - imgs))
             l2 = jnp.mean((rec - imgs) ** 2)
             per = jnp.mean(lpips.apply(lp, rec.astype(jnp.float32),
@@ -172,7 +174,8 @@ def _train_step_bench(log, time_fn, model, params):
             )
             return cb + 0.1 * adv + per + l1 + l2
 
-        g_grads = jax.grad(g_loss_fn)(g_params)
+        out_bar = jax.grad(g_loss_fn, argnums=(0, 1))(rec, cb)
+        (g_grads,) = g_vjp(out_bar)
         g_updates, g_opt = tx.update(g_grads, g_opt, g_params)
         g_params = optax.apply_updates(g_params, g_updates)
         return g_params, g_opt, d_params, d_opt
