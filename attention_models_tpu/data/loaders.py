@@ -29,7 +29,8 @@ def _collate(items, batch_transform=None):
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True,
-                 prefetch: int = 2, batch_transform=None):
+                 prefetch: int = 2, batch_transform=None,
+                 with_indices: bool = False):
         self.dataset = dataset
         self.batch_transform = batch_transform
         self.batch_size = batch_size
@@ -37,6 +38,9 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # when True, each yielded batch is (sample_indices int32, *batch) —
+        # lets trainers key per-sample caches (training.cache_vq_tokens)
+        self.with_indices = with_indices
         self._epoch = 0
 
     def __len__(self):
@@ -86,10 +90,13 @@ class DataLoader:
         def produce():
             try:
                 for batch_idx in self._batch_indices(epoch):
-                    if not put(_collate(
+                    batch = _collate(
                         [self.dataset[int(i)] for i in batch_idx],
                         self.batch_transform,
-                    )):
+                    )
+                    if self.with_indices:
+                        batch = (batch_idx.astype(np.int32), *batch)
+                    if not put(batch):
                         return
             except BaseException as e:  # re-raised in the consumer
                 error.append(e)

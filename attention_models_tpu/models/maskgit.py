@@ -123,7 +123,18 @@ class MaskGitTransformer(nn.Module):
     def __call__(self, imgs, rng: jax.Array, deterministic: bool = False):
         """Training loss. ``rng`` drives the masking only — dropout noise
         comes from the 'dropout' rng passed to ``apply()``."""
-        indices = jax.lax.stop_gradient(self.vq.encode_imgs(imgs))
+        indices = self.encode_to_indices(imgs)
+        return self.loss_from_indices(indices, rng, deterministic)
+
+    def encode_to_indices(self, imgs):
+        """Frozen-tokenizer image -> token grid (b, n). Deterministic, so
+        trainers may cache it per sample (training.cache_vq_tokens)."""
+        return jax.lax.stop_gradient(self.vq.encode_imgs(imgs))
+
+    def loss_from_indices(self, indices, rng: jax.Array,
+                          deterministic: bool = False):
+        """Training loss from precomputed VQ tokens — the forward minus the
+        encoder, for token-cached training."""
         mask = random_mask(rng, *indices.shape)
         inputs, targets = mask_fill_inputs_and_targets(
             indices, mask, self.mask_token_id

@@ -133,8 +133,20 @@ class MUSE(nn.Module):
     # -- training ---------------------------------------------------------------
     def __call__(self, text_ids, imgs, rng: jax.Array,
                  deterministic: bool = False):
+        indices = self.encode_to_indices(imgs)
+        return self.loss_from_indices(text_ids, indices, rng, deterministic)
+
+    def encode_to_indices(self, imgs):
+        """Frozen-tokenizer image -> token grid (b, n). Deterministic, so
+        trainers may cache it per sample (training.cache_vq_tokens)."""
+        return jax.lax.stop_gradient(self.vq.encode_imgs(imgs))
+
+    def loss_from_indices(self, text_ids, indices, rng: jax.Array,
+                          deterministic: bool = False):
+        """Training loss from precomputed VQ tokens — the forward minus the
+        image encoder, for token-cached training. Text still encodes here
+        (caption choice is per-epoch random in COCO, so text can't cache)."""
         text_embeds = jax.lax.stop_gradient(self.text_encoder(text_ids))
-        indices = jax.lax.stop_gradient(self.vq.encode_imgs(imgs))
 
         mask_rng, cond_rng = jax.random.split(rng)
         mask = random_mask(mask_rng, *indices.shape)

@@ -91,10 +91,20 @@ class Parti(nn.Module):
 
     # -- training ----------------------------------------------------------------
     def __call__(self, text_ids, imgs, deterministic: bool = True):
+        labels = self.encode_to_indices(imgs)
+        return self.loss_from_indices(text_ids, labels, deterministic)
+
+    def encode_to_indices(self, imgs):
+        """Frozen-tokenizer image -> token grid (b, n). Deterministic, so
+        trainers may cache it per sample (training.cache_vq_tokens)."""
+        return jax.lax.stop_gradient(self.vq.encode_imgs(imgs))
+
+    def loss_from_indices(self, text_ids, labels, deterministic: bool = True):
+        """Teacher-forced CE from precomputed VQ tokens — the forward minus
+        the image encoder, for token-cached training."""
         text_embeds = jax.lax.stop_gradient(self.text_encoder(text_ids))
         text_embeds = self.context_norm(text_embeds)
 
-        labels = jax.lax.stop_gradient(self.vq.encode_imgs(imgs))
         dec_in = self._embed_prefix(labels[:, :-1], deterministic=deterministic)
         dec_in = self.init_norm(dec_in)
         dec_out = self.transformer_decoder(

@@ -37,6 +37,16 @@ class _GeneratorTrainer(BaseTrainer):
     def __init__(self, cfg, model, dataloaders, pretrained_patches=None):
         super().__init__(cfg, model, dataloaders, pretrained_patches)
         self.schedule = build_schedule(cfg, self.num_iters_per_epoch)
+        self.cache_tokens = bool(cfg.training.get("cache_vq_tokens", False))
+        if self.cache_tokens:
+            pp = cfg.dataset.preprocessing
+            if bool(pp.get("random_flip")) or bool(pp.get("random_crop")):
+                raise ValueError(
+                    "training.cache_vq_tokens requires deterministic "
+                    "transforms — disable dataset.preprocessing.random_flip/"
+                    "random_crop (a cached token grid would freeze one "
+                    "augmentation draw for every epoch)"
+                )
 
         variables = self._init_variables()
         if self.pretrained_patches:
@@ -53,6 +63,65 @@ class _GeneratorTrainer(BaseTrainer):
         self.state = self.maybe_resume(self.state)
         self.state, self.state_shardings = self.place_state(self.state)
         self._build_steps()
+        if self.cache_tokens:
+            self._pretokenize()
+
+    def _make_step(self, loss_of):
+        """Jitted optimizer step from a loss(params, *batch_and_rng) fn —
+        the train/token step pairs differ only in their loss."""
+
+        @functools.partial(
+            jax.jit, donate_argnums=(0,),
+            out_shardings=(self.state_shardings, self.replicated),
+        )
+        def step(state, *batch_and_rng):
+            loss, grads = jax.value_and_grad(
+                lambda p: loss_of(p, *batch_and_rng)
+            )(state["params"])
+            updates, opt = self.tx.update(grads, state["opt"], state["params"])
+            return (
+                {"step": state["step"] + 1,
+                 "params": optax.apply_updates(state["params"], updates),
+                 "opt": opt},
+                {"loss": loss},
+            )
+
+        return step
+
+    def _pretokenize(self):
+        """training.cache_vq_tokens: one pass over the train set through the
+        frozen VQ encoder; every later train step reads the cached token grid
+        instead of re-encoding the image on device. The tokenizer is frozen
+        and the transforms are deterministic (validated above), so a cached
+        grid equals what the step would have computed — this is exact, not an
+        approximation. Cache cost: 4·num_patches bytes per sample (a 100k-
+        image set at 1024 tokens is ~400 MB host RAM). The reference re-runs
+        its frozen tokenizer every step (/root/reference/models/muse.py:162,
+        maskgit.py:166)."""
+        from attention_models_tpu.data.loaders import DataLoader
+        from attention_models_tpu.models.vq_common import vq_num_patches
+
+        encode = jax.jit(functools.partial(
+            self.model.apply, method=type(self.model).encode_to_indices
+        ))
+        ds = self.train_dl.dataset
+        n_tok = vq_num_patches(self.model.vq_config)
+        cache = np.zeros((len(ds), n_tok), np.int32)
+        scan_dl = DataLoader(
+            ds, self.train_dl.batch_size, shuffle=False, drop_last=False,
+            batch_transform=self.train_dl.batch_transform, with_indices=True,
+        )
+        for idx, img, *_ in scan_dl:
+            img_p, n = self.pad_batch(np.asarray(img))
+            ids = encode({"params": self.state["params"]},
+                         self.shard_batch(img_p))
+            cache[np.asarray(idx)] = np.asarray(ids, np.int32)[:n]
+        self._tok_cache = cache
+        self.train_dl.with_indices = True
+        log.info(
+            "cache_vq_tokens: pretokenized %d samples x %d tokens (%.1f MB)",
+            len(ds), n_tok, cache.nbytes / 1e6,
+        )
 
     # -- subclass hooks ---------------------------------------------------------
     def _init_variables(self):
@@ -77,37 +146,46 @@ class MaskGitTrainer(_GeneratorTrainer):
     def _build_steps(self):
         model_apply = self.model.apply
 
-        @functools.partial(
-            jax.jit, donate_argnums=(0,),
-            out_shardings=(self.state_shardings, self.replicated),
-        )
-        def train_step(state, img, rng):
+        def img_loss(params, img, rng):
             mask_rng, drop_rng = jax.random.split(rng)
+            return model_apply(
+                {"params": params}, img, mask_rng, deterministic=False,
+                rngs={"dropout": drop_rng},
+            )
 
-            def loss_fn(params):
+        self._train_step = self._make_step(img_loss)
+
+        if self.cache_tokens:
+            def tok_loss(params, vq_ids, rng):
+                mask_rng, drop_rng = jax.random.split(rng)
                 return model_apply(
-                    {"params": params}, img, mask_rng, deterministic=False,
+                    {"params": params}, vq_ids, mask_rng, deterministic=False,
                     rngs={"dropout": drop_rng},
+                    method=MaskGitTransformer.loss_from_indices,
                 )
 
-            loss, grads = jax.value_and_grad(loss_fn)(state["params"])
-            updates, opt = self.tx.update(grads, state["opt"], state["params"])
-            return (
-                {"step": state["step"] + 1,
-                 "params": optax.apply_updates(state["params"], updates),
-                 "opt": opt},
-                {"loss": loss},
-            )
+            self._token_step = self._make_step(tok_loss)
 
         @jax.jit
         def recon_step(params, img, rng):
             return model_apply({"params": params}, img, rng,
                                method=MaskGitTransformer.reconstruct)
 
-        self._train_step, self._recon_step = train_step, recon_step
+        self._recon_step = recon_step
 
     def train(self):
         from attention_models_tpu.data.loaders import device_prefetch
+
+        if self.cache_tokens:
+            # batch = (sample idx, img, ...): train from the cached token
+            # grids; the VQ encoder never runs again
+            step = self._token_step
+            place = lambda b: self.shard_batch(
+                self._tok_cache[np.asarray(b[0])]
+            )
+        else:
+            step = self._train_step
+            place = lambda b: self.shard_batch(b[0])
 
         start_epoch, skip = self.resume_position()
         for epoch in range(start_epoch, self.num_epoch):
@@ -115,12 +193,12 @@ class MaskGitTrainer(_GeneratorTrainer):
             # the exact permutation the uninterrupted run would have used
             self.train_dl.set_epoch(epoch)
             # host->device DMA for batch N+1 overlaps step N
-            for it, img in enumerate(device_prefetch(
-                self.train_dl, lambda b: self.shard_batch(b[0])
+            for it, batch in enumerate(device_prefetch(
+                self.train_dl, place
             )):
                 if epoch == start_epoch and it < skip:
                     continue  # mid-epoch resume: already-trained batches
-                self.state, m = self._train_step(self.state, img, self.rng())
+                self.state, m = step(self.state, batch, self.rng())
                 self.run_cadence(m)
                 if self.check_preemption(self.state):
                     return
@@ -160,55 +238,66 @@ class MuseTrainer(_GeneratorTrainer):
         model_apply = self.model.apply
         self.max_length = int(self.cfg.model.encoder.max_length)
 
-        @functools.partial(
-            jax.jit, donate_argnums=(0,),
-            out_shardings=(self.state_shardings, self.replicated),
-        )
-        def train_step(state, text_ids, img, rng):
+        def img_loss(params, text_ids, img, rng):
             step_rng, drop_rng = jax.random.split(rng)
+            return model_apply(
+                {"params": params}, text_ids, img, step_rng,
+                deterministic=False, rngs={"dropout": drop_rng},
+            )
 
-            def loss_fn(params):
+        self._train_step = self._make_step(img_loss)
+
+        if self.cache_tokens:
+            def tok_loss(params, text_ids, vq_ids, rng):
+                step_rng, drop_rng = jax.random.split(rng)
                 return model_apply(
-                    {"params": params}, text_ids, img, step_rng,
+                    {"params": params}, text_ids, vq_ids, step_rng,
                     deterministic=False, rngs={"dropout": drop_rng},
+                    method=MUSE.loss_from_indices,
                 )
 
-            loss, grads = jax.value_and_grad(loss_fn)(state["params"])
-            updates, opt = self.tx.update(grads, state["opt"], state["params"])
-            return (
-                {"step": state["step"] + 1,
-                 "params": optax.apply_updates(state["params"], updates),
-                 "opt": opt},
-                {"loss": loss},
-            )
+            self._token_step = self._make_step(tok_loss)
 
         @functools.partial(jax.jit, static_argnames=("timesteps",))
         def generate_step(params, text_ids, rng, timesteps=18):
             return model_apply({"params": params}, text_ids, rng,
                                timesteps=timesteps, method=MUSE.generate)
 
-        self._train_step, self._generate_step = train_step, generate_step
+        self._generate_step = generate_step
 
     def train(self):
         from attention_models_tpu.data.loaders import device_prefetch
 
-        def place(batch):  # tokenize + DMA in the prefetch thread
-            img, texts = batch
-            return (self.shard_batch(img),
-                    self.shard_batch(tokenize(list(texts), self.max_length)))
+        if self.cache_tokens:
+            step = self._token_step
+
+            def place(batch):  # cached VQ tokens; text still per-epoch
+                idx, _, texts = batch
+                return (
+                    self.shard_batch(tokenize(list(texts), self.max_length)),
+                    self.shard_batch(self._tok_cache[np.asarray(idx)]),
+                )
+        else:
+            step = self._train_step
+
+            def place(batch):  # tokenize + DMA in the prefetch thread
+                img, texts = batch
+                return (
+                    self.shard_batch(tokenize(list(texts), self.max_length)),
+                    self.shard_batch(img),
+                )
 
         start_epoch, skip = self.resume_position()
         for epoch in range(start_epoch, self.num_epoch):
             # deterministic shuffle per epoch index: resumed runs replay
             # the exact permutation the uninterrupted run would have used
             self.train_dl.set_epoch(epoch)
-            for it, (img, ids) in enumerate(
+            for it, (ids, second) in enumerate(
                 device_prefetch(self.train_dl, place)
             ):
                 if epoch == start_epoch and it < skip:
                     continue  # mid-epoch resume: already-trained batches
-                self.state, m = self._train_step(self.state, ids, img,
-                                                 self.rng())
+                self.state, m = step(self.state, ids, second, self.rng())
                 self.run_cadence(m)
                 if self.check_preemption(self.state):
                     return
@@ -280,51 +369,61 @@ class PartiTrainer(_GeneratorTrainer):
         )(self.rng(), dummy_ids, dummy_img)
 
     def _build_steps(self):
+        from attention_models_tpu.models.parti import Parti
+
         model_apply = self.model.apply
         self.max_length = int(self.cfg.model.encoder.max_length)
 
-        @functools.partial(
-            jax.jit, donate_argnums=(0,),
-            out_shardings=(self.state_shardings, self.replicated),
-        )
-        def train_step(state, text_ids, img, rng):
-            def loss_fn(params):
-                return model_apply(
-                    {"params": params}, text_ids, img, deterministic=False,
-                    rngs={"dropout": rng},
-                )
-
-            loss, grads = jax.value_and_grad(loss_fn)(state["params"])
-            updates, opt = self.tx.update(grads, state["opt"], state["params"])
-            return (
-                {"step": state["step"] + 1,
-                 "params": optax.apply_updates(state["params"], updates),
-                 "opt": opt},
-                {"loss": loss},
+        def img_loss(params, text_ids, img, rng):
+            return model_apply(
+                {"params": params}, text_ids, img, deterministic=False,
+                rngs={"dropout": rng},
             )
 
-        self._train_step = train_step
+        self._train_step = self._make_step(img_loss)
+
+        if self.cache_tokens:
+            def tok_loss(params, text_ids, vq_ids, rng):
+                return model_apply(
+                    {"params": params}, text_ids, vq_ids, deterministic=False,
+                    rngs={"dropout": rng}, method=Parti.loss_from_indices,
+                )
+
+            self._token_step = self._make_step(tok_loss)
 
     def train(self):
         from attention_models_tpu.data.loaders import device_prefetch
 
-        def place(batch):
-            img, texts = batch
-            return (self.shard_batch(img),
-                    self.shard_batch(tokenize(list(texts), self.max_length)))
+        if self.cache_tokens:
+            step = self._token_step
+
+            def place(batch):  # cached VQ tokens; text still per-epoch
+                idx, _, texts = batch
+                return (
+                    self.shard_batch(tokenize(list(texts), self.max_length)),
+                    self.shard_batch(self._tok_cache[np.asarray(idx)]),
+                )
+        else:
+            step = self._train_step
+
+            def place(batch):
+                img, texts = batch
+                return (
+                    self.shard_batch(tokenize(list(texts), self.max_length)),
+                    self.shard_batch(img),
+                )
 
         start_epoch, skip = self.resume_position()
         for epoch in range(start_epoch, self.num_epoch):
             # deterministic shuffle per epoch index: resumed runs replay
             # the exact permutation the uninterrupted run would have used
             self.train_dl.set_epoch(epoch)
-            for it, (img, ids) in enumerate(
+            for it, (ids, second) in enumerate(
                 device_prefetch(self.train_dl, place)
             ):
                 if epoch == start_epoch and it < skip:
                     continue  # mid-epoch resume: already-trained batches
-                self.state, m = self._train_step(self.state, ids, img,
-                                                 self.rng())
+                self.state, m = step(self.state, ids, second, self.rng())
                 self.run_cadence(m)
                 if self.check_preemption(self.state):
                     return
