@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator
 
 import numpy as np
@@ -30,7 +31,7 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True,
                  prefetch: int = 2, batch_transform=None,
-                 with_indices: bool = False):
+                 with_indices: bool = False, num_workers: int = 0):
         self.dataset = dataset
         self.batch_transform = batch_transform
         self.batch_size = batch_size
@@ -41,6 +42,11 @@ class DataLoader:
         # when True, each yielded batch is (sample_indices int32, *batch) —
         # lets trainers key per-sample caches (training.cache_vq_tokens)
         self.with_indices = with_indices
+        # dataset.params.num_workers: parallel per-item fetch/decode inside
+        # the producer (PIL releases the GIL while decoding, so threads give
+        # real JPEG-decode parallelism; torch spawns worker *processes* for
+        # the same knob). 0 = fetch serially in the producer thread.
+        self.num_workers = int(num_workers)
         self._epoch = 0
 
     def __len__(self):
@@ -87,13 +93,22 @@ class DataLoader:
                     continue
             return False
 
+        pool = (
+            ThreadPoolExecutor(self.num_workers, thread_name_prefix="loader")
+            if self.num_workers > 0 else None
+        )
+
+        def fetch(batch_idx):
+            if pool is not None:  # order-preserving parallel item fetch
+                return list(pool.map(
+                    self.dataset.__getitem__, [int(i) for i in batch_idx]
+                ))
+            return [self.dataset[int(i)] for i in batch_idx]
+
         def produce():
             try:
                 for batch_idx in self._batch_indices(epoch):
-                    batch = _collate(
-                        [self.dataset[int(i)] for i in batch_idx],
-                        self.batch_transform,
-                    )
+                    batch = _collate(fetch(batch_idx), self.batch_transform)
                     if self.with_indices:
                         batch = (batch_idx.astype(np.int32), *batch)
                     if not put(batch):
@@ -101,6 +116,8 @@ class DataLoader:
             except BaseException as e:  # re-raised in the consumer
                 error.append(e)
             finally:
+                if pool is not None:
+                    pool.shutdown(wait=False)
                 put(stop)
 
         t = threading.Thread(target=produce, daemon=True)
@@ -178,11 +195,13 @@ def build_loader(cfg):
     else:
         raise ValueError(f"unknown dataset {name!r}")
 
+    workers = int(params.get("num_workers", 0) or 0)
     train_dl = DataLoader(train_ds, int(params.batch_size),
                           shuffle=bool(params.get("shuffle", True)),
-                          batch_transform=train_bt)
+                          batch_transform=train_bt, num_workers=workers)
     val_dl = DataLoader(val_ds, int(params.batch_size), shuffle=False,
-                        drop_last=False, batch_transform=val_bt)
+                        drop_last=False, batch_transform=val_bt,
+                        num_workers=workers)
     return train_dl, val_dl
 
 

@@ -77,3 +77,29 @@ def test_abandoned_device_prefetch_releases_threads():
     assert _wait_threads(n0), (
         f"{threading.active_count() - n0} threads leaked"
     )
+
+
+def test_num_workers_preserves_order_and_content():
+    """num_workers > 0 fetches items through a thread pool but must yield
+    byte-identical batches in the same order as the serial path (the knob is
+    in every shipped config; torch's DataLoader has the same contract)."""
+    serial = DataLoader(_Items(13), 4, shuffle=True, seed=3, drop_last=False)
+    pooled = DataLoader(_Items(13), 4, shuffle=True, seed=3, drop_last=False,
+                        num_workers=3)
+    serial.set_epoch(1)
+    pooled.set_epoch(1)
+    got_s = list(serial)
+    got_p = list(pooled)
+    assert len(got_s) == len(got_p) == 4
+    for (img_s, lab_s), (img_p, lab_p) in zip(got_s, got_p):
+        np.testing.assert_array_equal(img_s, img_p)
+        np.testing.assert_array_equal(lab_s, lab_p)
+
+
+def test_with_indices_prepends_sample_indices():
+    dl = DataLoader(_Items(8), 4, shuffle=True, seed=0, with_indices=True)
+    for idx, imgs, labels in dl:
+        assert idx.dtype == np.int32
+        # the indices identify exactly the samples in the batch
+        np.testing.assert_array_equal(imgs[:, 0, 0].astype(np.int32), idx)
+        np.testing.assert_array_equal(np.asarray(labels, np.int32), idx)
