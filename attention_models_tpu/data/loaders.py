@@ -64,6 +64,17 @@ class DataLoader:
         from the wrong shuffle order."""
         self._epoch = int(epoch)
 
+    def iter_indices(self) -> Iterator[np.ndarray]:
+        """Index-only iteration with the SAME epoch/shuffle contract as
+        ``__iter__`` (consumes one epoch off the set_epoch counter). For
+        consumers that don't need the items at all — token-cached MaskGIT
+        training reads its grids from the cache, so the image pipeline
+        (decode, transform, collate) never runs."""
+        epoch = self._epoch
+        self._epoch += 1
+        for batch_idx in self._batch_indices(epoch):
+            yield batch_idx.astype(np.int32)
+
     def _batch_indices(self, epoch: int):
         idx = np.arange(len(self.dataset))
         if self.shuffle:

@@ -8,6 +8,7 @@ grids."""
 from __future__ import annotations
 
 import functools
+import hashlib
 import logging
 import os
 
@@ -101,15 +102,35 @@ class _GeneratorTrainer(BaseTrainer):
         from attention_models_tpu.data.loaders import DataLoader
         from attention_models_tpu.models.vq_common import vq_num_patches
 
+        ds = self.train_dl.dataset
+        n_tok = vq_num_patches(self.model.vq_config)
+        self.train_dl.with_indices = True
+
+        # resume path: reuse the persisted cache if it was built from the
+        # same frozen VQ weights and the same dataset extent
+        cache_file = os.path.join(self.checkpoint_folder,
+                                  "vq_token_cache.npz")
+        digest = self._vq_cache_digest(n_tok, len(ds))
+        if os.path.exists(cache_file):
+            z = np.load(cache_file)
+            if str(z["digest"]) == digest:
+                self._tok_cache = z["cache"]
+                log.info("cache_vq_tokens: loaded %s (%.1f MB)",
+                         cache_file, self._tok_cache.nbytes / 1e6)
+                return
+            log.warning(
+                "cache_vq_tokens: %s is stale (vq weights or dataset "
+                "changed) — re-tokenizing", cache_file,
+            )
+
         encode = jax.jit(functools.partial(
             self.model.apply, method=type(self.model).encode_to_indices
         ))
-        ds = self.train_dl.dataset
-        n_tok = vq_num_patches(self.model.vq_config)
         cache = np.zeros((len(ds), n_tok), np.int32)
         scan_dl = DataLoader(
             ds, self.train_dl.batch_size, shuffle=False, drop_last=False,
             batch_transform=self.train_dl.batch_transform, with_indices=True,
+            num_workers=self.train_dl.num_workers,
         )
         for idx, img, *_ in scan_dl:
             img_p, n = self.pad_batch(np.asarray(img))
@@ -117,11 +138,26 @@ class _GeneratorTrainer(BaseTrainer):
                          self.shard_batch(img_p))
             cache[np.asarray(idx)] = np.asarray(ids, np.int32)[:n]
         self._tok_cache = cache
-        self.train_dl.with_indices = True
+        np.savez(cache_file, cache=cache, digest=np.array(digest))
         log.info(
-            "cache_vq_tokens: pretokenized %d samples x %d tokens (%.1f MB)",
-            len(ds), n_tok, cache.nbytes / 1e6,
+            "cache_vq_tokens: pretokenized %d samples x %d tokens (%.1f MB)"
+            " -> %s",
+            len(ds), n_tok, cache.nbytes / 1e6, cache_file,
         )
+
+    def _vq_cache_digest(self, n_tok: int, n_samples: int) -> str:
+        """Fingerprint of the frozen VQ weights + dataset extent — guards the
+        persisted token cache against silently training on grids from
+        different tokenizer weights."""
+        h = hashlib.sha256()
+        leaves = jax.tree_util.tree_flatten_with_path(
+            self.state["params"]["vq"]
+        )[0]
+        for path, leaf in sorted(leaves, key=lambda kv: str(kv[0])):
+            h.update(str(path).encode())
+            h.update(np.asarray(leaf).tobytes())
+        h.update(f"{n_tok}:{n_samples}".encode())
+        return h.hexdigest()
 
     # -- subclass hooks ---------------------------------------------------------
     def _init_variables(self):
@@ -177,14 +213,14 @@ class MaskGitTrainer(_GeneratorTrainer):
         from attention_models_tpu.data.loaders import device_prefetch
 
         if self.cache_tokens:
-            # batch = (sample idx, img, ...): train from the cached token
-            # grids; the VQ encoder never runs again
+            # index-only iteration: grids come from the cache, so neither
+            # the VQ encoder nor the image pipeline (decode/transform) runs
             step = self._token_step
-            place = lambda b: self.shard_batch(
-                self._tok_cache[np.asarray(b[0])]
-            )
+            batches = lambda: self.train_dl.iter_indices()
+            place = lambda idx: self.shard_batch(self._tok_cache[idx])
         else:
             step = self._train_step
+            batches = lambda: iter(self.train_dl)
             place = lambda b: self.shard_batch(b[0])
 
         start_epoch, skip = self.resume_position()
@@ -194,7 +230,7 @@ class MaskGitTrainer(_GeneratorTrainer):
             self.train_dl.set_epoch(epoch)
             # host->device DMA for batch N+1 overlaps step N
             for it, batch in enumerate(device_prefetch(
-                self.train_dl, place
+                batches(), place
             )):
                 if epoch == start_epoch and it < skip:
                     continue  # mid-epoch resume: already-trained batches

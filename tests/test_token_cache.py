@@ -128,6 +128,45 @@ def test_muse_token_cache_runs(tmp_path):
     assert losses and all(np.isfinite(losses))
 
 
+def _build(cfg_name, tmp_path, **overrides):
+    cfg = load_config(os.path.join(CFG_DIR, cfg_name))
+    for k, v in overrides.items():
+        cfg.set_path(k, v)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        model, patches = build_model(cfg)
+        loaders = build_loader(cfg)
+        return build_trainer(cfg, model, loaders, pretrained_patches=patches)
+    finally:
+        os.chdir(cwd)
+
+
+def test_token_cache_persisted_and_reused(tmp_path, caplog):
+    import logging
+
+    first = _build("maskgit_overfit.yaml", tmp_path,
+                   **{"training.cache_vq_tokens": True})
+    cache_file = (tmp_path / "outputs" / "maskgit_overfit" / "checkpoints"
+                  / "vq_token_cache.npz")
+    assert cache_file.exists()
+
+    with caplog.at_level(logging.INFO):
+        second = _build("maskgit_overfit.yaml", tmp_path,
+                        **{"training.cache_vq_tokens": True})
+    assert any("loaded" in r.message for r in caplog.records)
+    np.testing.assert_array_equal(first._tok_cache, second._tok_cache)
+
+    # a cache from different vq weights must be detected as stale
+    z = np.load(cache_file)
+    np.savez(cache_file, cache=z["cache"], digest=np.array("0" * 64))
+    with caplog.at_level(logging.WARNING):
+        third = _build("maskgit_overfit.yaml", tmp_path,
+                       **{"training.cache_vq_tokens": True})
+    assert any("stale" in r.message for r in caplog.records)
+    np.testing.assert_array_equal(first._tok_cache, third._tok_cache)
+
+
 def test_token_cache_refuses_random_augmentations(tmp_path):
     with pytest.raises(ValueError, match="deterministic"):
         _run("maskgit_overfit.yaml", tmp_path,
