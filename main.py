@@ -36,6 +36,19 @@ def main(argv):
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
     runtime_init()
+
+    # persistent executable cache: re-running a config (or resuming after
+    # preemption) skips recompiles — over a remote-compile TPU link a cold
+    # compile of the deeper models takes minutes. Opt out or relocate via
+    # training.compilation_cache_dir ("" disables).
+    cache_dir = cfg.training.get("compilation_cache_dir",
+                                 "/tmp/jax_cache")
+    if cache_dir:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     if cfg.training.get("debug_nans"):
         from attention_models_tpu.utils.profiling import enable_nan_checks
 
