@@ -63,6 +63,12 @@ class CocoCaptions:
     def __len__(self):
         return len(self.imgids)
 
+    def caption(self, idx) -> str:
+        """One caption for sample ``idx`` (random among its annotations,
+        like __getitem__) WITHOUT decoding the image — token-cached trainers
+        iterate captions only (training.cache_vq_tokens)."""
+        return str(self.rng.choice(self.captions[self.imgids[idx]]))
+
     def __getitem__(self, idx):
         from PIL import Image
 
@@ -138,6 +144,9 @@ class SyntheticImages:
             return img, self._CAPTIONS[idx % len(self._CAPTIONS)]
         return img, idx % self.num_classes
 
+    def caption(self, idx) -> str:
+        return self._CAPTIONS[idx % len(self._CAPTIONS)]
+
 
 class Subset:
     def __init__(self, ds, indices: Sequence[int]):
@@ -148,6 +157,9 @@ class Subset:
 
     def __getitem__(self, idx):
         return self.ds[self.indices[idx]]
+
+    def caption(self, idx) -> str:
+        return self.ds.caption(self.indices[idx])
 
 
 def random_split(ds, train_frac: float, seed: int = 0):

@@ -159,6 +159,60 @@ class _GeneratorTrainer(BaseTrainer):
         h.update(f"{n_tok}:{n_samples}".encode())
         return h.hexdigest()
 
+    def _cached_text_batches(self):
+        """(sample idx, captions) batches for token-cached text-to-image
+        training. When the dataset exposes ``caption(i)`` the image pipeline
+        (decode/transform/collate) never runs; otherwise fall back to full
+        iteration (with_indices) and discard the images."""
+        ds = self.train_dl.dataset
+        if hasattr(ds, "caption"):
+            for idx in self.train_dl.iter_indices():
+                yield idx, [ds.caption(int(i)) for i in idx]
+        else:
+            for idx, _, texts in self.train_dl:
+                yield idx, list(texts)
+
+    def _train_text_loop(self):
+        """Shared Muse/Parti loop: step(state, text_ids, imgs_or_tokens, rng)."""
+        from attention_models_tpu.data.loaders import device_prefetch
+
+        if self.cache_tokens:
+            step = self._token_step
+            batches = self._cached_text_batches
+
+            def place(batch):  # cached VQ tokens; text still per-epoch
+                idx, texts = batch
+                return (
+                    self.shard_batch(tokenize(texts, self.max_length)),
+                    self.shard_batch(self._tok_cache[np.asarray(idx)]),
+                )
+        else:
+            step = self._train_step
+            batches = lambda: iter(self.train_dl)
+
+            def place(batch):  # tokenize + DMA in the prefetch thread
+                img, texts = batch
+                return (
+                    self.shard_batch(tokenize(list(texts), self.max_length)),
+                    self.shard_batch(img),
+                )
+
+        start_epoch, skip = self.resume_position()
+        for epoch in range(start_epoch, self.num_epoch):
+            # deterministic shuffle per epoch index: resumed runs replay
+            # the exact permutation the uninterrupted run would have used
+            self.train_dl.set_epoch(epoch)
+            for it, (ids, second) in enumerate(
+                device_prefetch(batches(), place)
+            ):
+                if epoch == start_epoch and it < skip:
+                    continue  # mid-epoch resume: already-trained batches
+                self.state, m = step(self.state, ids, second, self.rng())
+                self.run_cadence(m)
+                if self.check_preemption(self.state):
+                    return
+        self.finish()
+
     # -- subclass hooks ---------------------------------------------------------
     def _init_variables(self):
         raise NotImplementedError
@@ -302,42 +356,7 @@ class MuseTrainer(_GeneratorTrainer):
         self._generate_step = generate_step
 
     def train(self):
-        from attention_models_tpu.data.loaders import device_prefetch
-
-        if self.cache_tokens:
-            step = self._token_step
-
-            def place(batch):  # cached VQ tokens; text still per-epoch
-                idx, _, texts = batch
-                return (
-                    self.shard_batch(tokenize(list(texts), self.max_length)),
-                    self.shard_batch(self._tok_cache[np.asarray(idx)]),
-                )
-        else:
-            step = self._train_step
-
-            def place(batch):  # tokenize + DMA in the prefetch thread
-                img, texts = batch
-                return (
-                    self.shard_batch(tokenize(list(texts), self.max_length)),
-                    self.shard_batch(img),
-                )
-
-        start_epoch, skip = self.resume_position()
-        for epoch in range(start_epoch, self.num_epoch):
-            # deterministic shuffle per epoch index: resumed runs replay
-            # the exact permutation the uninterrupted run would have used
-            self.train_dl.set_epoch(epoch)
-            for it, (ids, second) in enumerate(
-                device_prefetch(self.train_dl, place)
-            ):
-                if epoch == start_epoch and it < skip:
-                    continue  # mid-epoch resume: already-trained batches
-                self.state, m = step(self.state, ids, second, self.rng())
-                self.run_cadence(m)
-                if self.check_preemption(self.state):
-                    return
-        self.finish()
+        self._train_text_loop()
 
     def on_sample(self):
         self.sample_prompts()
@@ -428,42 +447,7 @@ class PartiTrainer(_GeneratorTrainer):
             self._token_step = self._make_step(tok_loss)
 
     def train(self):
-        from attention_models_tpu.data.loaders import device_prefetch
-
-        if self.cache_tokens:
-            step = self._token_step
-
-            def place(batch):  # cached VQ tokens; text still per-epoch
-                idx, _, texts = batch
-                return (
-                    self.shard_batch(tokenize(list(texts), self.max_length)),
-                    self.shard_batch(self._tok_cache[np.asarray(idx)]),
-                )
-        else:
-            step = self._train_step
-
-            def place(batch):
-                img, texts = batch
-                return (
-                    self.shard_batch(tokenize(list(texts), self.max_length)),
-                    self.shard_batch(img),
-                )
-
-        start_epoch, skip = self.resume_position()
-        for epoch in range(start_epoch, self.num_epoch):
-            # deterministic shuffle per epoch index: resumed runs replay
-            # the exact permutation the uninterrupted run would have used
-            self.train_dl.set_epoch(epoch)
-            for it, (ids, second) in enumerate(
-                device_prefetch(self.train_dl, place)
-            ):
-                if epoch == start_epoch and it < skip:
-                    continue  # mid-epoch resume: already-trained batches
-                self.state, m = step(self.state, ids, second, self.rng())
-                self.run_cadence(m)
-                if self.check_preemption(self.state):
-                    return
-        self.finish()
+        self._train_text_loop()
 
     def on_sample(self):
         self.evaluate()

@@ -167,6 +167,38 @@ def test_token_cache_persisted_and_reused(tmp_path, caplog):
     np.testing.assert_array_equal(first._tok_cache, third._tok_cache)
 
 
+@pytest.mark.parametrize("cfg_name,project", [
+    ("maskgit_overfit.yaml", "maskgit_overfit"),
+    ("muse_overfit.yaml", "muse_overfit"),
+])
+def test_cached_training_skips_image_pipeline(tmp_path, monkeypatch,
+                                              cfg_name, project):
+    """After pretokenization, cached epochs must never call the dataset's
+    __getitem__ — MaskGIT iterates indices only; Muse reads captions through
+    the decode-free caption() accessor."""
+    trainer = _build(cfg_name, tmp_path,
+                     **{"training.cache_vq_tokens": True,
+                        "experiment.eval_every": 10_000,
+                        "experiment.sample_every": 10_000})
+    ds = trainer.train_dl.dataset
+    calls = {"n": 0}
+    orig = type(ds).__getitem__
+
+    def counting(self, idx):
+        calls["n"] += 1
+        return orig(self, idx)
+
+    monkeypatch.setattr(type(ds), "__getitem__", counting)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        trainer.train()
+    finally:
+        os.chdir(cwd)
+    assert trainer.global_step > 0
+    assert calls["n"] == 0, f"image pipeline ran {calls['n']} times"
+
+
 def test_token_cache_refuses_random_augmentations(tmp_path):
     with pytest.raises(ValueError, match="deterministic"):
         _run("maskgit_overfit.yaml", tmp_path,
