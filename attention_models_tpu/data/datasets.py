@@ -58,30 +58,43 @@ class CocoCaptions:
         if max_n < len(self.imgids):
             self.imgids = self.imgids[:max_n]
         self.transform = Transform(cfg, is_train, seed)
-        self.rng = np.random.default_rng(seed + 1)
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
+    def _item_rng(self, idx) -> np.random.Generator:
+        """Per-(seed, epoch, idx) Generator: thread-safe under num_workers
+        (no shared bit-generator state), deterministic per epoch (resume
+        replays the same caption draws and crops), and identical between
+        __getitem__ and caption() for the same access."""
+        return np.random.default_rng((self.seed, self._epoch, int(idx)))
 
     def __len__(self):
         return len(self.imgids)
 
     def caption(self, idx) -> str:
         """One caption for sample ``idx`` (random among its annotations,
-        like __getitem__) WITHOUT decoding the image — token-cached trainers
-        iterate captions only (training.cache_vq_tokens)."""
-        return str(self.rng.choice(self.captions[self.imgids[idx]]))
+        same draw as __getitem__) WITHOUT decoding the image — token-cached
+        trainers iterate captions only (training.cache_vq_tokens)."""
+        rng = self._item_rng(idx)
+        return str(rng.choice(self.captions[self.imgids[idx]]))
 
     def __getitem__(self, idx):
         from PIL import Image
 
+        rng = self._item_rng(idx)
         imgid = self.imgids[idx]
         path = os.path.join(self.img_dir, self.file_by_imgid[imgid])
-        caption = str(self.rng.choice(self.captions[imgid]))
+        caption = str(rng.choice(self.captions[imgid]))
         if self.raw:
             data = _raw_item(path)  # bytes when native JPEG decode available
             if data is not None:
                 return data, caption
             return np.asarray(Image.open(path).convert("RGB"),
                               np.uint8), caption
-        return self.transform(Image.open(path)), caption
+        return self.transform(Image.open(path), rng), caption
 
 
 class ImageFolder:
@@ -89,7 +102,8 @@ class ImageFolder:
 
     EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
-    def __init__(self, root: str, transform: Transform, raw: bool = False):
+    def __init__(self, root: str, transform: Transform, raw: bool = False,
+                 seed: int = 0):
         self.raw = raw
         classes = sorted(
             d for d in os.listdir(root)
@@ -104,6 +118,11 @@ class ImageFolder:
                     self.samples.append((os.path.join(cdir, fn),
                                          self.class_to_idx[c]))
         self.transform = transform
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
 
     def __len__(self):
         return len(self.samples)
@@ -117,7 +136,10 @@ class ImageFolder:
             if data is not None:
                 return data, label
             return np.asarray(Image.open(path).convert("RGB"), np.uint8), label
-        return self.transform(Image.open(path)), label
+        # per-(seed, epoch, idx) rng: thread-safe under num_workers and
+        # replayable on resume (see CocoCaptions._item_rng)
+        rng = np.random.default_rng((self.seed, self._epoch, int(idx)))
+        return self.transform(Image.open(path), rng), label
 
 
 class SyntheticImages:
@@ -160,6 +182,10 @@ class Subset:
 
     def caption(self, idx) -> str:
         return self.ds.caption(self.indices[idx])
+
+    def set_epoch(self, epoch: int) -> None:
+        if hasattr(self.ds, "set_epoch"):
+            self.ds.set_epoch(epoch)
 
 
 def random_split(ds, train_frac: float, seed: int = 0):

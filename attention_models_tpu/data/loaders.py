@@ -72,6 +72,8 @@ class DataLoader:
         (decode, transform, collate) never runs."""
         epoch = self._epoch
         self._epoch += 1
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)  # keys caption()/augment draws
         for batch_idx in self._batch_indices(epoch):
             yield batch_idx.astype(np.int32)
 
@@ -118,6 +120,10 @@ class DataLoader:
 
         def produce():
             try:
+                # datasets with per-item randomness key it on (seed, epoch,
+                # idx) — thread-safe under num_workers, replayable on resume
+                if hasattr(self.dataset, "set_epoch"):
+                    self.dataset.set_epoch(epoch)
                 for batch_idx in self._batch_indices(epoch):
                     batch = _collate(fetch(batch_idx), self.batch_transform)
                     if self.with_indices:
@@ -189,7 +195,8 @@ def build_loader(cfg):
             val_ds = CocoCaptions(cfg, "val2017", is_train=False, raw=native)
     elif name == "imagenet":
         ds = ImageFolder(params.train_path, get_transform(cfg, True),
-                         raw=native)
+                         raw=native,
+                         seed=int(cfg.training.get("seed", 0) or 0))
         if not params.get("train_test_split"):
             raise ValueError("train_test_split required for imagenet")
         train_ds, val_ds = random_split(

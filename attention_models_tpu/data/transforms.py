@@ -52,15 +52,21 @@ class Transform:
         self.std = pp.get("std")
         self.rng = np.random.default_rng(seed)
 
-    def __call__(self, img) -> np.ndarray:
-        """PIL image -> float32 (3, size, size) in [0,1] (or normalized)."""
+    def __call__(self, img, rng: np.random.Generator | None = None
+                 ) -> np.ndarray:
+        """PIL image -> float32 (3, size, size) in [0,1] (or normalized).
+
+        ``rng``: per-item Generator from the dataset (seeded by
+        (seed, epoch, idx) — thread-safe under num_workers and replayable on
+        resume). Falls back to the shared stream when omitted."""
+        rng = self.rng if rng is None else rng
         img = img.convert("RGB")
         img = _resize_square(img, self.resize_to)
         arr = np.asarray(img, np.uint8)
         if self.is_train:
             if self.random_crop:
-                arr = _random_crop(arr, self.size, self.rng)
-            if self.random_flip and self.rng.random() < 0.5:
+                arr = _random_crop(arr, self.size, rng)
+            if self.random_flip and rng.random() < 0.5:
                 arr = arr[:, ::-1]
             if self.center_crop_train:
                 arr = _center_crop(arr, self.size)

@@ -112,16 +112,20 @@ class _GeneratorTrainer(BaseTrainer):
                                   "vq_token_cache.npz")
         digest = self._vq_cache_digest(n_tok, len(ds))
         if os.path.exists(cache_file):
-            z = np.load(cache_file)
-            if str(z["digest"]) == digest:
-                self._tok_cache = z["cache"]
-                log.info("cache_vq_tokens: loaded %s (%.1f MB)",
-                         cache_file, self._tok_cache.nbytes / 1e6)
-                return
-            log.warning(
-                "cache_vq_tokens: %s is stale (vq weights or dataset "
-                "changed) — re-tokenizing", cache_file,
-            )
+            try:
+                z = np.load(cache_file)
+                if str(z["digest"]) == digest:
+                    self._tok_cache = z["cache"]
+                    log.info("cache_vq_tokens: loaded %s (%.1f MB)",
+                             cache_file, self._tok_cache.nbytes / 1e6)
+                    return
+                log.warning(
+                    "cache_vq_tokens: %s is stale (vq weights, dataset or "
+                    "preprocessing changed) — re-tokenizing", cache_file,
+                )
+            except Exception:  # truncated write (preempted mid-save) etc.
+                log.warning("cache_vq_tokens: %s unreadable — re-tokenizing",
+                            cache_file)
 
         encode = jax.jit(functools.partial(
             self.model.apply, method=type(self.model).encode_to_indices
@@ -138,7 +142,11 @@ class _GeneratorTrainer(BaseTrainer):
                          self.shard_batch(img_p))
             cache[np.asarray(idx)] = np.asarray(ids, np.int32)[:n]
         self._tok_cache = cache
-        np.savez(cache_file, cache=cache, digest=np.array(digest))
+        # atomic publish: a preempted mid-write must not leave a truncated
+        # npz that poisons every later startup
+        tmp = cache_file[: -len(".npz")] + ".tmp.npz"
+        np.savez(tmp, cache=cache, digest=np.array(digest))
+        os.replace(tmp, cache_file)
         log.info(
             "cache_vq_tokens: pretokenized %d samples x %d tokens (%.1f MB)"
             " -> %s",
@@ -146,9 +154,12 @@ class _GeneratorTrainer(BaseTrainer):
         )
 
     def _vq_cache_digest(self, n_tok: int, n_samples: int) -> str:
-        """Fingerprint of the frozen VQ weights + dataset extent — guards the
-        persisted token cache against silently training on grids from
-        different tokenizer weights."""
+        """Fingerprint of the frozen VQ weights + the full dataset config
+        (paths, preprocessing, native pipeline) + dataset extent — guards
+        the persisted token cache against silently training on grids from
+        different tokenizer weights, images, or preprocessing."""
+        import json
+
         h = hashlib.sha256()
         leaves = jax.tree_util.tree_flatten_with_path(
             self.state["params"]["vq"]
@@ -156,6 +167,8 @@ class _GeneratorTrainer(BaseTrainer):
         for path, leaf in sorted(leaves, key=lambda kv: str(kv[0])):
             h.update(str(path).encode())
             h.update(np.asarray(leaf).tobytes())
+        h.update(json.dumps(self.cfg.dataset.to_dict(), sort_keys=True,
+                            default=str).encode())
         h.update(f"{n_tok}:{n_samples}".encode())
         return h.hexdigest()
 

@@ -29,13 +29,16 @@ from attention_models_tpu.utils.config import load_config
 CFG_DIR = os.path.join(os.path.dirname(__file__), "..", "cfg_exp")
 
 
-def _tree_allclose(a, b, atol=0.0):
+def _tree_allclose(a, b):
+    # tight but not bit-exact: the fused and two-phase steps are separate
+    # XLA programs, so the backend may reassociate float ops a few ulps
+    # apart (bit-equality holds on CPU today but is not a compiler contract)
     flat_a, flat_b = jax.tree.leaves(a), jax.tree.leaves(b)
     assert len(flat_a) == len(flat_b)
     for x, y in zip(flat_a, flat_b):
         np.testing.assert_allclose(
-            np.asarray(x, np.float64), np.asarray(y, np.float64), atol=atol,
-            rtol=0.0,
+            np.asarray(x, np.float64), np.asarray(y, np.float64),
+            rtol=1e-5, atol=1e-7,
         )
 
 
@@ -134,7 +137,7 @@ def test_fused_gan_step_matches_two_phase(tmp_path):
 
     # same D loss, same post-step G/D params + optimizer moments
     np.testing.assert_allclose(
-        float(metrics["d_loss"]), float(d_loss), rtol=0.0, atol=0.0
+        float(metrics["d_loss"]), float(d_loss), rtol=1e-5, atol=1e-7
     )
     for k in ("g_params", "d_params", "d_stats", "g_opt", "d_opt"):
         _tree_allclose(got[k], expected[k])

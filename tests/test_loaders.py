@@ -103,3 +103,68 @@ def test_with_indices_prepends_sample_indices():
         # the indices identify exactly the samples in the batch
         np.testing.assert_array_equal(imgs[:, 0, 0].astype(np.int32), idx)
         np.testing.assert_array_equal(np.asarray(labels, np.int32), idx)
+
+
+def _make_coco_fixture(root, n=6):
+    """Tiny on-disk COCO-captions layout for loader determinism tests."""
+    import json as _json
+    import os
+
+    from PIL import Image
+
+    img_dir = os.path.join(root, "train2017")
+    ann_dir = os.path.join(root, "annotations")
+    os.makedirs(img_dir)
+    os.makedirs(ann_dir)
+    images, anns = [], []
+    for i in range(n):
+        name = f"{i:06d}.jpg"
+        arr = (np.random.RandomState(i).rand(40, 48, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(img_dir, name))
+        images.append({"id": i, "file_name": name})
+        for c in range(3):  # several captions -> caption choice draws rng
+            anns.append({"image_id": i, "caption": f"caption {i}-{c}"})
+    with open(os.path.join(ann_dir, "captions_train2017.json"), "w") as f:
+        _json.dump({"images": images, "annotations": anns}, f)
+
+
+def test_num_workers_deterministic_with_rng_consuming_dataset(tmp_path):
+    """CocoCaptions draws rng per item (caption choice, random crop/flip).
+    With num_workers > 0 those draws must not depend on thread scheduling:
+    the same (seed, epoch) yields byte-identical batches as the serial
+    loader, run after run (per-(seed, epoch, idx) Generators, not a shared
+    stream)."""
+    from attention_models_tpu.data.datasets import CocoCaptions
+    from attention_models_tpu.utils.config import load_config
+    import os
+
+    _make_coco_fixture(tmp_path / "coco")
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                   "cfg_exp", "muse_overfit.yaml"))
+    cfg.set_path("dataset.params.train_path", str(tmp_path / "coco"))
+    cfg.set_path("dataset.preprocessing.resolution", 32)
+    cfg.set_path("dataset.preprocessing.random_crop", True)
+    cfg.set_path("dataset.preprocessing.random_flip", True)
+    cfg.set_path("dataset.preprocessing.scale", 0.8)
+    cfg.set_path("experiment.max_train_examples", 6)
+
+    ds = CocoCaptions(cfg, "train2017", is_train=True)
+
+    def epoch_batches(workers):
+        dl = DataLoader(ds, 2, shuffle=True, seed=5, num_workers=workers)
+        dl.set_epoch(3)
+        return list(dl)
+
+    serial = epoch_batches(0)
+    for _ in range(3):  # repeated pooled runs: no scheduling dependence
+        pooled = epoch_batches(3)
+        assert len(serial) == len(pooled)
+        for (img_s, cap_s), (img_p, cap_p) in zip(serial, pooled):
+            np.testing.assert_array_equal(img_s, img_p)
+            assert list(cap_s) == list(cap_p)
+
+    # caption() (decode-free accessor) must return __getitem__'s draw
+    ds.set_epoch(7)
+    caps = [ds.caption(i) for i in range(6)]
+    items = [ds[i][1] for i in range(6)]
+    assert caps == items
