@@ -47,6 +47,10 @@ class DataLoader:
         # real JPEG-decode parallelism; torch spawns worker *processes* for
         # the same knob). 0 = fetch serially in the producer thread.
         self.num_workers = int(num_workers)
+        # multi-host: positions within each full global batch this process
+        # loads (BaseTrainer sets it from the mesh's row ownership). The
+        # shuffle permutation stays GLOBAL, so hosts agree on batch makeup.
+        self.row_filter: np.ndarray | None = None
         self._epoch = 0
 
     def __len__(self):
@@ -87,7 +91,10 @@ class DataLoader:
             else len(idx)
         )
         for s in range(0, end, self.batch_size):
-            yield idx[s : s + self.batch_size]
+            b = idx[s : s + self.batch_size]
+            if self.row_filter is not None and len(b) == self.batch_size:
+                b = b[self.row_filter]
+            yield b
 
     def __iter__(self) -> Iterator:
         epoch = self._epoch

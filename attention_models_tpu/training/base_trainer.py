@@ -98,6 +98,19 @@ class BaseTrainer:
         self.data_sharding = batch_sharding(self.mesh)
         self.rng = RngStream(int(cfg.training.get("seed", 42) or 42))
 
+        # multi-host: dataset.params.batch_size is the GLOBAL batch; each
+        # host loads only the rows whose data-parallel shards live on its
+        # devices (device_put cannot target non-addressable devices)
+        self.host_rows = None
+        if jax.process_count() > 1:
+            self.host_rows = self._host_batch_rows()
+            self.train_dl.row_filter = self.host_rows
+            log.info(
+                "multi-host: process %d/%d loads %d of %d global batch rows",
+                jax.process_index(), jax.process_count(),
+                len(self.host_rows), self.batch_size,
+            )
+
         output_folder = f"outputs/{self.project_name}"
         self.checkpoint_folder = os.path.join(output_folder, "checkpoints")
         self.image_saved_dir = os.path.join(output_folder, "images")
@@ -293,10 +306,56 @@ class BaseTrainer:
 
     def shard_batch(self, arr: np.ndarray):
         arr = np.asarray(arr)
+        if jax.process_count() > 1:
+            return self._multihost_shard(arr)
         if arr.shape[0] % self.mesh.shape["data"]:
             # ragged tail batch (eval, drop_last=False): replicate
             return jax.device_put(arr, replicated_sharding(self.mesh))
         return jax.device_put(arr, batch_sharding(self.mesh, arr.ndim))
+
+    def _host_batch_rows(self) -> np.ndarray:
+        """Global-batch rows whose data-parallel shards live on THIS host
+        (ownership follows the mesh's device order). The train loader
+        fetches only these; eval paths decode the full batch everywhere."""
+        sh = batch_sharding(self.mesh, 1)
+        m = sh.devices_indices_map((self.batch_size,))
+        rows: set[int] = set()
+        for d, idx in m.items():
+            if d.process_index != jax.process_index():
+                continue
+            sl = idx[0]
+            stop = self.batch_size if sl.stop is None else sl.stop
+            rows.update(range(sl.start or 0, stop))
+        return np.array(sorted(rows), np.int64)
+
+    def _multihost_shard(self, arr: np.ndarray):
+        """Assemble a global batch array across hosts from local rows — one
+        device_put per addressable shard + make_array_from_single_device_
+        arrays (no host-to-host transfers; XLA collectives never see the
+        host boundary). Accepts this host's rows (the filtered train
+        loader) or the full global batch (eval: every host decoded the
+        same padded batch) and slices its rows out."""
+        sh = batch_sharding(self.mesh, arr.ndim)
+        gb = (self.batch_size,) + arr.shape[1:]
+        if arr.shape[0] == gb[0]:
+            local = arr[self.host_rows]
+        elif arr.shape[0] == len(self.host_rows):
+            local = arr
+        else:
+            raise ValueError(
+                f"multi-host batch must have {gb[0]} (global) or "
+                f"{len(self.host_rows)} (host-local) rows, got "
+                f"{arr.shape[0]} — pad eval batches with pad_batch()"
+            )
+        pos = {int(r): i for i, r in enumerate(self.host_rows)}
+        m = sh.devices_indices_map(gb)
+        shards = []
+        for d in sh.addressable_devices:
+            sl = m[d][0]
+            stop = gb[0] if sl.stop is None else sl.stop
+            block = local[[pos[r] for r in range(sl.start or 0, stop)]]
+            shards.append(jax.device_put(block, d))
+        return jax.make_array_from_single_device_arrays(gb, sh, shards)
 
     def pad_batch(self, *arrays):
         """Pad a ragged eval tail batch up to the configured batch size by

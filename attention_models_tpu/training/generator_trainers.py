@@ -136,10 +136,17 @@ class _GeneratorTrainer(BaseTrainer):
             batch_transform=self.train_dl.batch_transform, with_indices=True,
             num_workers=self.train_dl.num_workers,
         )
+        gather = None
+        if jax.process_count() > 1:
+            # every host scans the same deterministic order; replicate the
+            # encoded grids so each host fills its full local cache
+            gather = jax.jit(lambda x: x, out_shardings=self.replicated)
         for idx, img, *_ in scan_dl:
             img_p, n = self.pad_batch(np.asarray(img))
             ids = encode({"params": self.state["params"]},
                          self.shard_batch(img_p))
+            if gather is not None:
+                ids = gather(ids)
             cache[np.asarray(idx)] = np.asarray(ids, np.int32)[:n]
         self._tok_cache = cache
         # atomic publish: a preempted mid-write must not leave a truncated
