@@ -107,6 +107,23 @@ def _decode_latency_bench(log, time_fn):
     log(f"muse generate (CFG) b={batch} t={timesteps}: {dt * 1e3:.1f} ms "
         f"total, {dt / timesteps * 1e3:.2f} ms/step")
 
+    # Parti: 1024 sequential KV-cached decoder steps (the reference
+    # re-forwards the whole growing prefix each step — models/parti.py:126)
+    from attention_models_tpu.models.parti import Parti, parti_generate
+
+    parti = Parti(dim=512, vq_config=vq_cfg, n_heads=8, d_head=64, depth=6,
+                  dtype=jnp.bfloat16)
+    parti_params = _synth_params(
+        parti,
+        functools.partial(parti.init, method=Parti.init_all),
+        jax.random.key(0), ids, jnp.zeros((1, 3, 256, 256), jnp.bfloat16),
+    )
+    n_steps = 1024  # 256px / patch 8
+    dt = time_fn(parti_generate, parti, parti_params, ids,
+                 jax.random.key(2), iters=2)
+    log(f"parti generate (AR, KV cache) b={batch} t={n_steps}: "
+        f"{dt * 1e3:.0f} ms total, {dt / n_steps * 1e3:.3f} ms/step")
+
 
 def _train_step_bench(log, time_fn, model, params):
     """ViTVQGAN GAN training throughput (the reference's main workload,
