@@ -206,7 +206,38 @@ def _train_step_bench(log, time_fn, model, params):
         f"({bs / dt:.0f} imgs/s training)")
 
 
+def _probe_devices(timeout_s: int = 240) -> str | None:
+    """jax.devices() can HANG indefinitely when the tunneled TPU is down —
+    probe it in a killable subprocess so bench records a clean failure
+    instead of hanging the driver. Returns an error string or None."""
+    import subprocess
+    import sys as _sys
+
+    try:
+        r = subprocess.run(
+            [_sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return f"device init hung >{timeout_s}s (TPU tunnel down)"
+    if r.returncode != 0:
+        return f"device init failed: {r.stderr.strip()[-300:]}"
+    return None
+
+
 def main():
+    err = _probe_devices()
+    if err:
+        log(f"DEVICE PROBE FAILED: {err}")
+        print(json.dumps({
+            "metric": "vitvqgan_256px_recon_throughput",
+            "value": 0.0, "unit": "imgs/sec/chip", "vs_baseline": 0.0,
+            "error": err,
+            "note": "hardware unreachable at bench time; last healthy "
+                    "measurement: 1142 imgs/s/chip (docs/ROADMAP.md)",
+        }))
+        return
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
