@@ -199,6 +199,17 @@ def test_cached_training_skips_image_pipeline(tmp_path, monkeypatch,
     assert calls["n"] == 0, f"image pipeline ran {calls['n']} times"
 
 
+def test_token_cache_composes_with_tensor_parallel(tmp_path):
+    """The token step must respect the (data, model) mesh like the image
+    step: params/opt sharded over model, cached token batches over data."""
+    trainer, _ = _run("maskgit_overfit.yaml", tmp_path,
+                      **{"training.cache_vq_tokens": True,
+                         "training.tensor_parallel": 2})
+    assert trainer.mesh.shape["model"] == 2
+    losses = _losses(tmp_path, "maskgit_overfit")
+    assert losses and all(np.isfinite(losses))
+
+
 def test_token_cache_refuses_random_augmentations(tmp_path):
     with pytest.raises(ValueError, match="deterministic"):
         _run("maskgit_overfit.yaml", tmp_path,
