@@ -89,7 +89,8 @@ def _dispatch_attention(
             ring_ok = (
                 context_mask is None and causal_mask is None
                 and tq % sp == 0 and tk % sp == 0
-                and flash_supported((b, h, tq // sp, d), (b, h, tk // sp, d))
+                and flash_supported((b, h, tq // sp, d), (b, h, tk // sp, d),
+                                    itemsize=q.dtype.itemsize)
             )
             if ring_ok:
                 from attention_models_tpu.ops.ring_attention import (
@@ -111,7 +112,8 @@ def _dispatch_attention(
         flash_ok = (
             context_mask is None
             and causal_mask is None  # explicit mask tensors go XLA
-            and flash_supported((b, h, tq, d), (b, h, tk, d))
+            and flash_supported((b, h, tq, d), (b, h, tk, d),
+                                itemsize=q.dtype.itemsize)
         )
         tp_mesh = _ambient_tp_mesh()
         if tp_mesh is not None:

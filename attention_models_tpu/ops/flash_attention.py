@@ -897,21 +897,30 @@ def _check_causal_lengths(tq: int, tk: int) -> None:
 
 
 def flash_supported(
-    q_shape: tuple, k_shape: tuple, platform: str | None = None
+    q_shape: tuple, k_shape: tuple, platform: str | None = None,
+    itemsize: int = 2,
 ) -> bool:
     """Dispatch predicate: Pallas TPU kernels only on TPU-like backends; seq
-    lens must be >= 2 sublanes to be worth the call, and must tile into the
-    blocks _pick_block accepts (multiple of 8) or the kernel would raise at
-    trace time instead of falling back to the XLA path — e.g. ViT's 257
-    tokens (image 256 / patch 16 + class token)."""
+    lens must be >= 2 sublanes to be worth the call, must tile into the
+    blocks _pick_block accepts (multiple of 8) — e.g. ViT's 257 tokens
+    (image 256 / patch 16 + class token) — AND must fit the kernels' VMEM
+    block budget in both the forward (full k/v resident) and backward (full
+    q/do resident in the dkv program) role assignments. Any of these failing
+    would raise at trace time instead of falling back to the XLA path."""
     if platform is None:
         platform = jax.default_backend()
     if platform not in ("tpu", "axon"):
         return False
-    return (
-        q_shape[2] >= 128 and k_shape[2] >= 128
-        and q_shape[2] % 8 == 0 and k_shape[2] % 8 == 0
-    )
+    b, h, tq, d = q_shape
+    tk = k_shape[2]
+    if tq < 128 or tk < 128 or tq % 8 or tk % 8:
+        return False
+    try:  # same probes the kernels run (fwd + bwd swap tq/tk roles)
+        _mh_pick_blocks(tq, tk, h, d, 512, 1024, itemsize)
+        _mh_pick_blocks(tk, tq, h, d, 1024, 512, itemsize)
+        return True
+    except ValueError:
+        return False
 
 
 def flash_attention_sharded(

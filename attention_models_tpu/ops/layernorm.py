@@ -51,7 +51,7 @@ def fused_layernorm(
     n = xf.shape[0]
     # VMEM budget: f32 working copy + in/out blocks must stay well under the
     # ~16MB scoped limit -> cap rows so br*d(f32) stays ~2MB
-    budget = max(8, (512 * 1024) // d * 8 // 8)
+    budget = max(8, (512 * 1024) // d // 8 * 8)  # round down to sublanes
     br = min(block_rows, budget, n)
     while n % br and br > 8:
         br -= 8 if br % 8 == 0 else br % 8

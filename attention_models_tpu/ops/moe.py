@@ -146,14 +146,12 @@ def moe_linear(
     impl: str = "auto",
     capacity_factor: float | None = None,
 ) -> jnp.ndarray:
-    impl = resolve_moe_impl(impl, w.shape[0])
+    impl = resolve_moe_impl(impl, w.shape[0])  # validates: dense | scatter
     if impl == "dense":
         return moe_linear_dense(x, w, selected, weights, b)
-    if impl == "scatter":
-        return moe_linear_scatter(
-            x, w, selected, weights, b, capacity_factor=capacity_factor
-        )
-    raise ValueError(f"unknown moe impl {impl!r}")
+    return moe_linear_scatter(
+        x, w, selected, weights, b, capacity_factor=capacity_factor
+    )
 
 
 def moe_linear_ep_local(

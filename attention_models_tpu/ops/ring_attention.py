@@ -113,8 +113,16 @@ def _ring_backward(
         dq = dq + dq_i.astype(jnp.float32)
         dk_acc = dk_acc + dk_i.astype(jnp.float32)
         dv_acc = dv_acc + dv_i.astype(jnp.float32)
-        # accumulators travel WITH their chunk; after n shifts they are home
-        kc, vc, dk_acc, dv_acc = _shift((kc, vc, dk_acc, dv_acc), axis_name, n)
+        # accumulators travel WITH their chunk; after n shifts they are home.
+        # Last hop: kc/vc are never read again — ship only the accumulators
+        # (halves the final step's ICI payload, mirroring the forward's
+        # s != n-1 guard)
+        if s != n - 1:
+            kc, vc, dk_acc, dv_acc = _shift(
+                (kc, vc, dk_acc, dv_acc), axis_name, n
+            )
+        else:
+            dk_acc, dv_acc = _shift((dk_acc, dv_acc), axis_name, n)
     return dq.astype(q.dtype), dk_acc.astype(k.dtype), dv_acc.astype(v.dtype)
 
 

@@ -27,8 +27,24 @@ def runtime_init() -> None:
     Single-process (one host driving 1..N chips) needs no init; multi-host
     TPU pods set the coordinator env vars. Safe to call unconditionally.
     """
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
-        jax.distributed.initialize()
+    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return
+    # Must run BEFORE anything that initializes the XLA backend —
+    # jax.process_count()/jax.devices() would, and initialize() then raises
+    # "must be called before any JAX calls". Check the coordinator client
+    # directly instead (jax has no public "is initialized" predicate).
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is None:
+        # coordinator_address auto-detects from JAX_COORDINATOR_ADDRESS, but
+        # process count/id only come from cluster plugins (SLURM/GKE) —
+        # honor the plain env vars too
+        num = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        jax.distributed.initialize(
+            num_processes=int(num) if num else None,
+            process_id=int(pid) if pid else None,
+        )
 
 
 def create_mesh(

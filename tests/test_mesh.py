@@ -1,3 +1,5 @@
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -66,3 +68,36 @@ def test_sharded_matmul_runs_on_mesh():
     y = f(params, x)
     expected = np.einsum("btd,dh->bth", x, params["wq"]["kernel"])
     np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-5, atol=1e-5)
+
+
+def test_runtime_init_before_backend_touch():
+    """Regression: runtime_init() must not initialize the XLA backend before
+    calling jax.distributed.initialize() — the old guard evaluated
+    jax.process_count(), which does, so every multi-host launch (the ONLY
+    case the branch runs) died with "must be called before any JAX calls".
+    A 1-process coordinator exercises the same code path."""
+    import subprocess
+    import sys
+
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+from attention_models_tpu.parallel import runtime_init
+runtime_init()  # must come before any backend init and must not raise
+assert jax.process_count() == 1
+print("runtime_init OK", len(jax.devices()))
+"""
+    env = dict(
+        os.environ,
+        JAX_COORDINATOR_ADDRESS="localhost:58517",
+        JAX_NUM_PROCESSES="1",
+        JAX_PROCESS_ID="0",
+        JAX_PLATFORMS="cpu",
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=240, env=env,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "runtime_init OK" in r.stdout

@@ -121,6 +121,17 @@ def test_flash_supported_requires_tileable_lengths():
     assert not flash_supported(q, odd, platform="tpu")
     assert not flash_supported(q, q, platform="cpu")
 
+    # VMEM-fit gate: the bthd kernels keep full k/v (fwd) or full q/do
+    # (bwd dkv program) resident — shapes whose resident blocks exceed the
+    # budget must fall back to XLA, not raise "no VMEM-fitting blocks" at
+    # trace time (bf16 t=4096, h=12, d=64 -> 2*2*4096*768*2 = 25.2 MB)
+    big = (1, 12, 4096, 64)
+    assert not flash_supported(big, big, platform="tpu", itemsize=2)
+    ok = (1, 8, 1024, 64)  # the production shapes still take the kernel
+    assert flash_supported(ok, ok, platform="tpu", itemsize=2)
+    assert flash_supported((8, 12, 1024, 64), (8, 12, 1024, 64),
+                           platform="tpu", itemsize=2)
+
 
 def test_flash_gradients_causal_and_cross_length():
     """Pallas backward kernels under causal masking with tq != tk (the
