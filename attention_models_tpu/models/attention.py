@@ -178,6 +178,25 @@ class SoftmaxAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash: bool | None = None
     max_decode_len: int | None = None  # KV-cache size for decode mode
+    quant: str | None = None  # "int8": W8A8 projections (ops/quant.py)
+
+    def _proj(self, x, features: int, *, name: str, use_bias: bool):
+        """Linear projection; W8A8 via quant_dot when ``quant`` is set
+        (same param pytree paths either way — checkpoints unchanged).
+        The attention score/value matmuls themselves stay bf16 flash."""
+        if self.quant == "int8":
+            from attention_models_tpu.models.layers import _DenseKernel
+            from attention_models_tpu.ops.quant import quant_dot
+
+            p = _DenseKernel((x.shape[-1], features), use_bias=use_bias,
+                             name=name)()
+            if use_bias:
+                kernel, bias = p
+                return quant_dot(x, kernel, out_dtype=self.dtype) + \
+                    bias.astype(self.dtype)
+            return quant_dot(x, p, out_dtype=self.dtype)
+        return nn.Dense(features, use_bias=use_bias, dtype=self.dtype,
+                        name=name)(x)
 
     @nn.compact
     def __call__(
@@ -191,11 +210,11 @@ class SoftmaxAttention(nn.Module):
         decode: bool = False,
     ):
         h, d = self.num_heads, self.dim_head
-        q = nn.Dense(h * d, use_bias=False, dtype=self.dtype, name="wq")(x)
+        q = self._proj(x, h * d, name="wq", use_bias=False)
         q = nn.Dropout(self.dropout)(q, deterministic=deterministic)
 
         kv_src = x if context is None else context
-        kv = nn.Dense(2 * h * d, use_bias=False, dtype=self.dtype, name="wkv")(kv_src)
+        kv = self._proj(kv_src, 2 * h * d, name="wkv", use_bias=False)
         kv = nn.Dropout(self.dropout)(kv, deterministic=deterministic)
 
         if decode:
@@ -223,7 +242,7 @@ class SoftmaxAttention(nn.Module):
             # out keeps ITS OWN batch (einsum broadcasting on the XLA path
             # can widen a size-1 q batch against the context batch)
             out = out.reshape(out.shape[0], out.shape[1], h * d)
-        out = nn.Dense(self.dim, dtype=self.dtype, name="wo")(out)
+        out = self._proj(out, self.dim, name="wo", use_bias=True)
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
     def _decode_attention(self, q, k, v, is_cross: bool):

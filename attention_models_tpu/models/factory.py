@@ -86,6 +86,7 @@ def build_model(cfg):
                 codebook_dim=cfg.codebook.codebook_dim,
                 codebook_size=cfg.codebook.codebook_size,
             ),
+            quant=cfg.model.get("quant"),
             dtype=dtype,
         ), patches
 
@@ -132,6 +133,7 @@ def build_model(cfg):
             remat=bool(cfg.training.get("remat", False)),
             scan_layers=bool(cfg.training.get("scan_layers", False)),
             pp_microbatches=cfg.training.get("pipeline_microbatches"),
+            quant=cfg.model.get("quant"),
             dtype=dtype,
         ), patches
 
@@ -154,6 +156,7 @@ def build_model(cfg):
             remat=bool(cfg.training.get("remat", False)),
             scan_layers=bool(cfg.training.get("scan_layers", False)),
             pp_microbatches=cfg.training.get("pipeline_microbatches"),
+            quant=cfg.model.get("quant"),
             dtype=dtype,
         ), patches
 
@@ -177,6 +180,7 @@ def build_model(cfg):
             clip_heads=e.get("heads", 12),
             scan_layers=bool(cfg.training.get("scan_layers", False)),
             pp_microbatches=cfg.training.get("pipeline_microbatches"),
+            quant=cfg.model.get("quant"),
             dtype=dtype,
         ), patches
 

@@ -73,10 +73,12 @@ class _DenseKernel(nn.Module):
 
     shape: tuple
     use_bias: bool = False
+    kernel_init: Callable | None = None
 
     @nn.compact
     def __call__(self):
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+        kernel = self.param("kernel",
+                            self.kernel_init or nn.initializers.lecun_normal(),
                             self.shape, jnp.float32)
         if not self.use_bias:
             return kernel
@@ -108,6 +110,7 @@ class FeedForward(nn.Module):
     dim: int
     mult: float = 4
     dtype: jnp.dtype = jnp.float32
+    quant: str | None = None  # "int8": W8A8 inference path (ops/quant.py)
 
     @nn.compact
     def __call__(self, x):
@@ -119,11 +122,26 @@ class FeedForward(nn.Module):
         gamma = _GammaParam(inner, name="norm")()
         w2 = _DenseKernel((inner, self.dim), name="ff_out")()
 
-        if (
+        tileable = (
             ffn_supported(x.shape, x.shape[-1], inner)
             and (2 * inner) % 128 == 0
             and self.dim % 128 == 0
-        ):
+        )
+        if self.quant == "int8":
+            # opt-in W8A8 inference path: per-channel int8 weights
+            # (quantized at trace time — loop-invariant under decode
+            # scans), per-token dynamic activation scales, int32 MXU
+            # accumulation. No VJP: training configs must not set quant.
+            from attention_models_tpu.ops.quant import (
+                ffn_q8_reference,
+                fused_ffn_q8,
+                quant_supported,
+            )
+
+            if tileable and quant_supported():
+                return fused_ffn_q8(x, w1, gamma, w2)
+            return ffn_q8_reference(x, w1, gamma, w2)
+        if tileable:
             return fused_ffn(x, w1, gamma, w2)
 
         h = jnp.dot(x, w1.astype(self.dtype))
@@ -257,14 +275,33 @@ class _MlpParams(nn.Module):
 
 def ln_mlp_block(x, *, dim: int, hidden_dim: int, dtype,
                  norm_name: str, mlp_name: str,
-                 deterministic: bool = True, dropout: float = 0.0):
+                 deterministic: bool = True, dropout: float = 0.0,
+                 quant: str | None = None):
     """``x + Mlp(LayerNorm(x))`` — the second half of a ViT TransformerBlock.
     On the TPU bf16 fast path the whole block is ONE Pallas kernel
     (ops/ffn.py::fused_ln_mlp: LN + both matmuls + gelu + residual, no HBM
     intermediates); otherwise the module composition runs unchanged. Call
-    from inside an @nn.compact __call__ (submodules attach to the caller)."""
+    from inside an @nn.compact __call__ (submodules attach to the caller).
+    ``quant="int8"`` switches to the W8A8 kernel (inference-only —
+    ops/quant.py)."""
     from attention_models_tpu.ops.ffn import fused_ln_mlp, mlp_supported
 
+    if quant == "int8":
+        from attention_models_tpu.ops.quant import (
+            fused_ln_mlp_q8,
+            ln_mlp_q8_reference,
+            quant_supported,
+        )
+
+        lng, lnb = _LayerNormParams(dim, name=norm_name)()
+        w1, b1, w2, b2 = _MlpParams(dim, hidden_dim, name=mlp_name)()
+        tileable = (
+            mlp_supported(x.shape, x.shape[-1])
+            and dim % 128 == 0 and x.shape[-1] == dim
+        )
+        if tileable and quant_supported():
+            return fused_ln_mlp_q8(x, lng, lnb, w1, b1, w2, b2)
+        return ln_mlp_q8_reference(x, lng, lnb, w1, b1, w2, b2)
     fusable = (
         (dropout == 0.0 or deterministic)
         and dtype == jnp.bfloat16

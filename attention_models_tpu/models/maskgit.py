@@ -57,6 +57,7 @@ class BiDirectionalTransformer(nn.Module):
     remat: bool = False
     scan_layers: bool = False
     pp_microbatches: int | None = None
+    quant: str | None = None  # "int8": W8A8 inference path (ops/quant.py)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -74,9 +75,16 @@ class BiDirectionalTransformer(nn.Module):
             self.dim, self.n_heads, self.d_head, self.dec_depth, self.mult,
             self.dropout, dtype=self.dtype, remat=self.remat,
             scan=self.scan_layers, pp_microbatches=self.pp_microbatches,
-            name="decoder",
+            quant=self.quant, name="decoder",
         )(h, deterministic=deterministic)
         h = GammaLayerNorm(self.dim, dtype=self.dtype, name="final_norm")(h)
+        if self.quant == "int8":
+            from attention_models_tpu.models.layers import _DenseKernel
+            from attention_models_tpu.ops.quant import quant_dot
+
+            kernel = _DenseKernel((h.shape[-1], self.vocab_size),
+                                  kernel_init=trunc_normal02, name="linear")()
+            return quant_dot(h, kernel, out_dtype=self.dtype)
         return nn.Dense(
             self.vocab_size, use_bias=False, dtype=self.dtype,
             kernel_init=trunc_normal02, name="linear",
@@ -96,6 +104,7 @@ class MaskGitTransformer(nn.Module):
     remat: bool = False
     scan_layers: bool = False
     pp_microbatches: int | None = None
+    quant: str | None = None  # "int8": W8A8 decode (inference-only opt-in)
 
     def setup(self):
         self.vq = build_vq(self.vq_config, dtype=self.dtype)
@@ -106,7 +115,7 @@ class MaskGitTransformer(nn.Module):
             n_heads=self.n_heads, d_head=self.d_head,
             dec_depth=self.dec_depth, mult=self.mult, dropout=self.dropout,
             dtype=self.dtype, remat=self.remat, scan_layers=self.scan_layers,
-            pp_microbatches=self.pp_microbatches,
+            pp_microbatches=self.pp_microbatches, quant=self.quant,
         )
 
     def init_all(self, imgs, rng: jax.Array):

@@ -57,6 +57,7 @@ class BidirectionalDecoder(nn.Module):
     remat: bool = False
     scan_layers: bool = False
     pp_microbatches: int | None = None
+    quant: str | None = None  # "int8": W8A8 inference path (ops/quant.py)
 
     @nn.compact
     def __call__(self, indices, context, context_mask=None,
@@ -74,9 +75,16 @@ class BidirectionalDecoder(nn.Module):
             self.dim, self.n_heads, self.d_head, self.depth, self.mult,
             self.dropout, dtype=self.dtype, remat=self.remat,
             scan=self.scan_layers, pp_microbatches=self.pp_microbatches,
-            name="decoder",
+            quant=self.quant, name="decoder",
         )(x, context, context_mask=context_mask, deterministic=deterministic)
         x = GammaLayerNorm(self.dim, dtype=self.dtype, name="final_norm")(x)
+        if self.quant == "int8":
+            from attention_models_tpu.models.layers import _DenseKernel
+            from attention_models_tpu.ops.quant import quant_dot
+
+            kernel = _DenseKernel((x.shape[-1], self.codebook_size),
+                                  kernel_init=trunc_normal02, name="linear")()
+            return quant_dot(x, kernel, out_dtype=self.dtype)
         return nn.Dense(
             self.codebook_size, use_bias=False, dtype=self.dtype,
             kernel_init=trunc_normal02, name="linear",
@@ -101,6 +109,7 @@ class MUSE(nn.Module):
     remat: bool = False  # rematerialize decoder blocks (trade FLOPs for HBM)
     scan_layers: bool = False  # nn.scan the decoder stack (compile time)
     pp_microbatches: int | None = None  # GPipe microbatch count override
+    quant: str | None = None  # "int8": W8A8 decode (inference-only opt-in)
 
     def setup(self):
         self.text_encoder = TextEncoder(
@@ -116,7 +125,7 @@ class MUSE(nn.Module):
             self.depth, self.mult, self.dropout,
             vq_num_patches(self.vq_config),
             dtype=self.dtype, remat=self.remat, scan_layers=self.scan_layers,
-            pp_microbatches=self.pp_microbatches,
+            pp_microbatches=self.pp_microbatches, quant=self.quant,
         )
 
     def encode_texts(self, text_ids):

@@ -46,16 +46,18 @@ class EncoderLayer(nn.Module):
     mult: float = 4
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    quant: str | None = None  # "int8": W8A8 inference path
 
     @nn.compact
     def __call__(self, x, context_mask=None, deterministic: bool = True):
         h = GammaLayerNorm(self.dim, dtype=self.dtype, name="norm1")(x)
         x = x + SoftmaxAttention(
             self.dim, self.n_heads, self.d_head, self.dropout,
-            dtype=self.dtype, name="self_attn",
+            dtype=self.dtype, quant=self.quant, name="self_attn",
         )(h, context_mask=context_mask, deterministic=deterministic)
         h = GammaLayerNorm(self.dim, dtype=self.dtype, name="norm2")(x)
-        x = x + FeedForward(self.dim, self.mult, dtype=self.dtype, name="ff")(h)
+        x = x + FeedForward(self.dim, self.mult, dtype=self.dtype,
+                            quant=self.quant, name="ff")(h)
         return x
 
 
@@ -76,6 +78,7 @@ class Encoder(nn.Module):
     remat: bool = False
     scan: bool = False
     pp_microbatches: int | None = None  # GPipe microbatch count override
+    quant: str | None = None  # "int8": W8A8 inference path
 
     @nn.compact
     def __call__(self, x, context_mask=None, deterministic: bool = True):
@@ -112,7 +115,8 @@ class Encoder(nn.Module):
             )(
                 layer_cls(
                     self.dim, self.n_heads, self.d_head, self.mult,
-                    self.dropout, dtype=self.dtype, name="layers",
+                    self.dropout, dtype=self.dtype, quant=self.quant,
+                    name="layers",
                 ),
                 x, context_mask,
             )
@@ -120,7 +124,7 @@ class Encoder(nn.Module):
         for i in range(self.depth):
             x = layer_cls(
                 self.dim, self.n_heads, self.d_head, self.mult, self.dropout,
-                dtype=self.dtype, name=f"layers_{i}",
+                dtype=self.dtype, quant=self.quant, name=f"layers_{i}",
             )(x, context_mask, deterministic)
         return x
 
@@ -134,7 +138,7 @@ class Encoder(nn.Module):
         bool args through its apply)."""
         layer = EncoderLayer(
             self.dim, self.n_heads, self.d_head, self.mult, self.dropout,
-            dtype=self.dtype,
+            dtype=self.dtype, quant=self.quant,
         )
         scanned = {"params": self.variables["params"]["layers"]}
         if (
@@ -181,6 +185,7 @@ class DecoderLayer(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     max_decode_len: int | None = None
+    quant: str | None = None  # "int8": W8A8 inference path
 
     @nn.compact
     def __call__(
@@ -191,17 +196,18 @@ class DecoderLayer(nn.Module):
         x = x + SoftmaxAttention(
             self.dim, self.n_heads, self.d_head, self.dropout,
             dtype=self.dtype, max_decode_len=self.max_decode_len,
-            name="self_attn",
+            quant=self.quant, name="self_attn",
         )(h, causal_mask=causal_mask, causal=causal,
           deterministic=deterministic, decode=decode)
         h = GammaLayerNorm(self.dim, dtype=self.dtype, name="norm2")(x)
         x = x + SoftmaxAttention(
             self.dim, self.n_heads, self.d_head, self.dropout,
-            dtype=self.dtype, name="cross_attn",
+            dtype=self.dtype, quant=self.quant, name="cross_attn",
         )(h, context=context, context_mask=context_mask,
           deterministic=deterministic, decode=decode)
         h = GammaLayerNorm(self.dim, dtype=self.dtype, name="norm3")(x)
-        x = x + FeedForward(self.dim, self.mult, dtype=self.dtype, name="ff")(h)
+        x = x + FeedForward(self.dim, self.mult, dtype=self.dtype,
+                            quant=self.quant, name="ff")(h)
         return x
 
 
@@ -220,6 +226,7 @@ class Decoder(nn.Module):
     max_decode_len: int | None = None
     scan: bool = False
     pp_microbatches: int | None = None  # GPipe microbatch count override
+    quant: str | None = None  # "int8": W8A8 inference path
 
     @nn.compact
     def __call__(
@@ -262,7 +269,8 @@ class Decoder(nn.Module):
                 layer_cls(
                     self.dim, self.n_heads, self.d_head, self.mult,
                     self.dropout, dtype=self.dtype,
-                    max_decode_len=self.max_decode_len, name="layers",
+                    max_decode_len=self.max_decode_len, quant=self.quant,
+                    name="layers",
                 ),
                 x, context, context_mask, causal_mask,
             )
@@ -271,7 +279,7 @@ class Decoder(nn.Module):
             x = layer_cls(
                 self.dim, self.n_heads, self.d_head, self.mult, self.dropout,
                 dtype=self.dtype, max_decode_len=self.max_decode_len,
-                name=f"layers_{i}",
+                quant=self.quant, name=f"layers_{i}",
             )(x, context, context_mask, causal_mask, causal, deterministic,
               decode)
         return x
@@ -287,6 +295,7 @@ class Decoder(nn.Module):
         layer = DecoderLayer(
             self.dim, self.n_heads, self.d_head, self.mult, self.dropout,
             dtype=self.dtype, max_decode_len=self.max_decode_len,
+            quant=self.quant,
         )
         scanned = {"params": self.variables["params"]["layers"]}
         if (

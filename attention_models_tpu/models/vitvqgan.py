@@ -48,13 +48,14 @@ class ViTVQGANBlock(nn.Module):
     mlp_dim: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    quant: str | None = None  # "int8": W8A8 inference path (ops/quant.py)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         h = LayerNorm(self.dim, dtype=self.dtype, name="norm1")(x)
         x = x + SoftmaxAttention(
             self.dim, self.n_heads, self.d_head, self.dropout,
-            dtype=self.dtype, name="self_attn",
+            dtype=self.dtype, quant=self.quant, name="self_attn",
         )(h, deterministic=deterministic)
         # norm2 + Mlp + residual fuse into one Pallas kernel on the TPU bf16
         # path (ops/ffn.py::fused_ln_mlp); identical module composition and
@@ -62,7 +63,7 @@ class ViTVQGANBlock(nn.Module):
         x = ln_mlp_block(
             x, dim=self.dim, hidden_dim=xformers_hidden(self.mlp_dim),
             dtype=self.dtype, norm_name="norm2", mlp_name="mlp",
-            deterministic=deterministic, dropout=0.0,
+            deterministic=deterministic, dropout=0.0, quant=self.quant,
         )
         return x
 
@@ -77,6 +78,7 @@ class ViTEncoder(nn.Module):
     mlp_dim: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    quant: str | None = None  # "int8": W8A8 inference path
 
     @nn.compact
     def __call__(self, imgs, deterministic: bool = True):
@@ -92,7 +94,7 @@ class ViTEncoder(nn.Module):
         for i in range(self.depth):
             x = ViTVQGANBlock(
                 self.dim, self.n_heads, self.d_head, self.mlp_dim, self.dropout,
-                dtype=self.dtype, name=f"layers_{i}",
+                dtype=self.dtype, quant=self.quant, name=f"layers_{i}",
             )(x, deterministic=deterministic)
         return x
 
@@ -107,6 +109,7 @@ class ViTDecoder(nn.Module):
     mlp_dim: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    quant: str | None = None  # "int8": W8A8 inference path
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -120,7 +123,7 @@ class ViTDecoder(nn.Module):
         for i in range(self.depth):
             x = ViTVQGANBlock(
                 self.dim, self.n_heads, self.d_head, self.mlp_dim, self.dropout,
-                dtype=self.dtype, name=f"layers_{i}",
+                dtype=self.dtype, quant=self.quant, name=f"layers_{i}",
             )(x, deterministic=deterministic)
         x = nn.Dense(self.patch_size ** 2 * 3, dtype=self.dtype, name="fc")(x)
         return rearrange(
@@ -173,10 +176,12 @@ class ViTVQGAN(nn.Module):
     vit_params: dict
     codebook_params: dict
     dtype: jnp.dtype = jnp.float32
+    quant: str | None = None  # "int8": W8A8 inference (codebook stays fp32)
 
     def setup(self):
         vp = dict(self.vit_params)
         vp["dtype"] = self.dtype
+        vp["quant"] = self.quant
         self.encoder = ViTEncoder(**vp)
         self.pre_quant = nn.Dense(
             self.codebook_params["codebook_dim"], dtype=self.dtype
@@ -208,7 +213,8 @@ class ViTVQGAN(nn.Module):
         return (self.vit_params["img_size"] // self.vit_params["patch_size"]) ** 2
 
 
-def vitvqgan_base(img_size: int = 256, dtype=jnp.float32) -> ViTVQGAN:
+def vitvqgan_base(img_size: int = 256, dtype=jnp.float32,
+                  quant: str | None = None) -> ViTVQGAN:
     """The released-checkpoint configuration (cfg/vitvqgan.yaml:18-27,
     inference/vitvqgan.py:35-44): dim 512, patch 8, depth 6, mlp 2048,
     codebook 8192x32."""
@@ -219,4 +225,5 @@ def vitvqgan_base(img_size: int = 256, dtype=jnp.float32) -> ViTVQGAN:
         ),
         codebook_params=dict(codebook_size=8192, codebook_dim=32, beta=0.25),
         dtype=dtype,
+        quant=quant,
     )

@@ -107,6 +107,20 @@ def _decode_latency_bench(log, time_fn):
     log(f"muse generate (CFG) b={batch} t={timesteps}: {dt * 1e3:.1f} ms "
         f"total, {dt / timesteps * 1e3:.2f} ms/step")
 
+    # W8A8 int8 decode (opt-in serving path, ops/quant.py): same weights
+    try:
+        muse_q = MUSE(dim=768, vq_config=vq_cfg, n_heads=12, d_head=64,
+                      depth=16, mult=8, dropout=0.0, dtype=jnp.bfloat16,
+                      quant="int8")
+        mgen_q = jax.jit(functools.partial(
+            muse_q.apply, timesteps=timesteps, approx_topk=True,
+            method=MUSE.generate))
+        dt = time_fn(mgen_q, muse_params, ids, jax.random.key(2), iters=5)
+        log(f"muse generate (CFG, int8) b={batch} t={timesteps}: "
+            f"{dt * 1e3:.1f} ms total, {dt / timesteps * 1e3:.2f} ms/step")
+    except Exception as e:
+        log(f"muse int8 bench failed: {type(e).__name__}: {e}")
+
     # Parti: 1024 sequential KV-cached decoder steps (the reference
     # re-forwards the whole growing prefix each step — models/parti.py:126)
     from attention_models_tpu.models.parti import Parti, parti_generate
@@ -278,6 +292,21 @@ def main():
         except Exception as e:  # OOM at large batch etc.
             log(f"recon bs={bs}: failed ({type(e).__name__})")
             break
+
+    # W8A8 int8 recon (opt-in serving path, ops/quant.py): same weights,
+    # quantized twin of the fused block kernels. Headline stays bf16.
+    try:
+        model_q = vitvqgan_base(img_size=256, dtype=jnp.bfloat16,
+                                quant="int8")
+        recon_q = jax.jit(lambda p, x: model_q.apply(p, x)[0])
+        imgs = jnp.array(
+            np.random.RandomState(0).rand(best_bs, 3, 256, 256), jnp.bfloat16
+        )
+        dt = time_fn(recon_q, params, imgs)
+        log(f"recon (int8) bs={best_bs}: {dt * 1e3:.2f} ms  "
+            f"{best_bs / dt:.0f} imgs/s")
+    except Exception as e:
+        log(f"recon int8 bench failed: {type(e).__name__}: {e}")
 
     # ---- extra diagnostics: tokenizer encode + generator decode latency ----- #
     try:

@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--resolution", type=int, default=256)
     ap.add_argument("--dim", type=int, default=512)
     ap.add_argument("--depth", type=int, default=6)
+    ap.add_argument("--quant", default=None, choices=["int8"],
+                    help="W8A8 int8 decode (2x MXU rate on v5e)")
     args = ap.parse_args()
 
     import jax
@@ -52,6 +54,7 @@ def main():
     model = MaskGitTransformer(
         dim=args.dim, vq_config=vq_config, vocab_size=8192,
         n_heads=8, d_head=64, dec_depth=args.depth, dropout=0.0,
+        quant=args.quant,
     )
 
     imgs = (jnp.array(load_image(args.image, args.resolution))

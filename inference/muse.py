@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--depth", type=int, default=16)
     ap.add_argument("--heads", type=int, default=12)
     ap.add_argument("--mult", type=int, default=8)
+    ap.add_argument("--quant", default=None, choices=["int8"],
+                    help="W8A8 int8 decode (2x MXU rate on v5e; "
+                         "per-token dynamic activation scales)")
     args = ap.parse_args()
 
     import jax
@@ -52,7 +55,8 @@ def main():
         codebook_params=dict(codebook_size=8192, codebook_dim=32),
     )
     model = MUSE(dim=args.dim, vq_config=vq_config, n_heads=args.heads,
-                 d_head=64, depth=args.depth, mult=args.mult)
+                 d_head=64, depth=args.depth, mult=args.mult,
+                 quant=args.quant)
 
     ids = jnp.array(tokenize([args.prompt]))
     dummy = jnp.zeros((1, 3, args.resolution, args.resolution), jnp.float32)

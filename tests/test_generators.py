@@ -155,6 +155,14 @@ def test_parti_train_and_cached_generate():
     assert out.shape == (1, 3, 16, 16)
     assert np.all(np.isfinite(np.asarray(out)))
 
+    # repeated serving calls reuse ONE jitted program (re-tracing per call
+    # used to dominate wall clock: 18.4 "ms/step" vs 0.8 compiled on v5e)
+    from attention_models_tpu.models.parti import _parti_run
+
+    assert _parti_run(m, 0.9, True) is _parti_run(m, 0.9, True)
+    out2 = parti_generate(m, params, ids, jax.random.key(1))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
 
 def test_parti_kv_cache_matches_full_forward():
     """Cached single-token decode must reproduce the full causal forward."""
