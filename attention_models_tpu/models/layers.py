@@ -135,10 +135,9 @@ class FeedForward(nn.Module):
             from attention_models_tpu.ops.quant import (
                 ffn_q8_reference,
                 fused_ffn_q8,
-                quant_supported,
             )
 
-            if tileable and quant_supported():
+            if tileable:  # ffn_supported() already gates on the TPU backend
                 return fused_ffn_q8(x, w1, gamma, w2)
             return ffn_q8_reference(x, w1, gamma, w2)
         if tileable:
@@ -290,16 +289,21 @@ def ln_mlp_block(x, *, dim: int, hidden_dim: int, dtype,
         from attention_models_tpu.ops.quant import (
             fused_ln_mlp_q8,
             ln_mlp_q8_reference,
-            quant_supported,
         )
 
+        if dropout != 0.0 and not deterministic:
+            raise ValueError(
+                "quant='int8' is an inference-only path; it cannot apply "
+                "active dropout (got dropout={} with deterministic=False)"
+                .format(dropout)
+            )
         lng, lnb = _LayerNormParams(dim, name=norm_name)()
         w1, b1, w2, b2 = _MlpParams(dim, hidden_dim, name=mlp_name)()
         tileable = (
             mlp_supported(x.shape, x.shape[-1])
             and dim % 128 == 0 and x.shape[-1] == dim
         )
-        if tileable and quant_supported():
+        if tileable:  # mlp_supported() already gates on the TPU backend
             return fused_ln_mlp_q8(x, lng, lnb, w1, b1, w2, b2)
         return ln_mlp_q8_reference(x, lng, lnb, w1, b1, w2, b2)
     fusable = (

@@ -13,6 +13,8 @@ in generate (parti.py:99 vs 131).
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -29,6 +31,31 @@ from attention_models_tpu.models.vq_common import (
     vq_num_patches,
 )
 from attention_models_tpu.ops.sampling import filter_logits, gumbel_argmax
+
+
+class _QuantDense(nn.Module):
+    """nn.Dense twin (identical kernel/bias params and init) whose matmul
+    runs W8A8 via ops/quant.py::quant_dot — used for Parti's to_logits head
+    (dim → codebook_size, the largest per-step matmul in cached decode)
+    when ``quant="int8"``, mirroring the quantized logit heads of
+    BiDirectionalTransformer / BidirectionalDecoder."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from attention_models_tpu.ops.quant import quant_dot
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return quant_dot(x, kernel, out_dtype=self.dtype) \
+            + bias.astype(self.dtype)
 
 
 class Parti(nn.Module):
@@ -69,7 +96,10 @@ class Parti(nn.Module):
         )
         self.init_norm = LayerNorm(self.dim, dtype=self.dtype)
         self.final_norm = LayerNorm(self.dim, dtype=self.dtype)
-        self.to_logits = nn.Dense(self.codebook_size, dtype=self.dtype)
+        if self.quant == "int8":
+            self.to_logits = _QuantDense(self.codebook_size, dtype=self.dtype)
+        else:
+            self.to_logits = nn.Dense(self.codebook_size, dtype=self.dtype)
 
     def _embed_prefix(self, indices, deterministic: bool = True):
         """start token + embedded indices, with sinusoidal PE applied to the
@@ -145,18 +175,26 @@ class Parti(nn.Module):
 
 # Jitted decode programs, one per (model, sampling knobs). Keyed by id()
 # with the model object held in the value so the id can never be reused
-# while the entry is alive. Without this every parti_generate call built a
-# FRESH jax.jit closure — correct but re-traced per call, which dominated
+# while the entry is alive; LRU so the hottest model's compiled program
+# survives eviction pressure. Without this every parti_generate call built
+# a FRESH jax.jit closure — correct but re-traced per call, which dominated
 # wall clock for repeated serving calls (measured 18.4 ms/"step" re-tracing
 # vs 0.8 ms/step for the compiled loop at b=8 t=1024 on v5e).
-_RUN_CACHE: dict = {}
+_RUN_CACHE: "OrderedDict" = OrderedDict()
 _RUN_CACHE_MAX = 16
 
 
 def _parti_run(model: Parti, filter_p: float, approx_topk: bool):
-    key = (id(model), float(filter_p), bool(approx_topk))
-    hit = _RUN_CACHE.get(key)
+    try:
+        key = (id(model), float(filter_p), bool(approx_topk))
+    except (TypeError, jax.errors.ConcretizationTypeError):
+        # filter_p/approx_topk is a tracer (parti_generate called under an
+        # outer jit with traced knobs): skip the cache, close over the
+        # tracers as the pre-cache code did — the nested jit inlines.
+        key = None
+    hit = _RUN_CACHE.get(key) if key is not None else None
     if hit is not None:
+        _RUN_CACHE.move_to_end(key)  # LRU: a hit refreshes recency
         return hit[0]
 
     n = vq_num_patches(model.vq_config)
@@ -199,9 +237,10 @@ def _parti_run(model: Parti, filter_p: float, approx_topk: bool):
         indices, _, _ = jax.lax.fori_loop(0, n, body, (indices0, tok0, cache))
         return model.apply(variables, indices, method=lambda m, ix: m.vq.decode_indices(ix))
 
-    if len(_RUN_CACHE) >= _RUN_CACHE_MAX:
-        _RUN_CACHE.pop(next(iter(_RUN_CACHE)))
-    _RUN_CACHE[key] = (run, model)  # hold model: keeps id(model) valid
+    if key is not None:
+        if len(_RUN_CACHE) >= _RUN_CACHE_MAX:
+            _RUN_CACHE.popitem(last=False)  # evict least-recently used
+        _RUN_CACHE[key] = (run, model)  # hold model: keeps id(model) valid
     return run
 
 

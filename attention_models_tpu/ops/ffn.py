@@ -94,6 +94,18 @@ def _ffn_reference(x, w1, gamma, w2, eps):
     return jnp.dot(y.astype(dtype), w2.astype(dtype))
 
 
+def pick_block_rows(n: int, block_rows: int) -> int:
+    """Largest row-tile size <= min(block_rows, n) that divides n, stepping
+    down in 8-row (sublane) decrements. Shared by every row-tiled kernel in
+    ops/ffn.py and ops/quant.py so the tiling heuristic lives in one place."""
+    bn = min(block_rows, n)
+    while n % bn and bn > 8:
+        bn -= 8 if bn % 8 == 0 else bn % 8
+    if bn < 8 or n % bn:
+        raise ValueError(f"unsupported row count {n}")
+    return bn
+
+
 def _ffn_forward(x, w1, gamma, w2, *, eps, block_rows, interpret):
     orig_shape = x.shape
     d = orig_shape[-1]
@@ -101,11 +113,7 @@ def _ffn_forward(x, w1, gamma, w2, *, eps, block_rows, interpret):
     i = two_i // 2
     xf = x.reshape(-1, d)
     n = xf.shape[0]
-    bn = min(block_rows, n)
-    while n % bn and bn > 8:
-        bn -= 8 if bn % 8 == 0 else bn % 8
-    if bn < 8 or n % bn:
-        raise ValueError(f"unsupported FFN row count {n}")
+    bn = pick_block_rows(n, block_rows)
 
     w1c = w1.astype(x.dtype)
     w2c = w2.astype(x.dtype)
@@ -237,11 +245,7 @@ def _mlp_forward(x, w1, b1, w2, b2, *, block_rows, interpret):
     hid = w1.shape[-1]
     xf = x.reshape(-1, d)
     n = xf.shape[0]
-    bn = min(block_rows, n)
-    while n % bn and bn > 8:
-        bn -= 8 if bn % 8 == 0 else bn % 8
-    if bn < 8 or n % bn:
-        raise ValueError(f"unsupported MLP row count {n}")
+    bn = pick_block_rows(n, block_rows)
 
     out = pl.pallas_call(
         _mlp_kernel,
@@ -380,11 +384,7 @@ def _ln_mlp_forward(x, lng, lnb, w1, b1, w2, b2, *, eps, block_rows,
     hid = w1.shape[-1]
     xf = x.reshape(-1, d)
     n = xf.shape[0]
-    bn = min(block_rows, n)
-    while n % bn and bn > 8:
-        bn -= 8 if bn % 8 == 0 else bn % 8
-    if bn < 8 or n % bn:
-        raise ValueError(f"unsupported row count {n}")
+    bn = pick_block_rows(n, block_rows)
 
     out = pl.pallas_call(
         functools.partial(_ln_mlp_kernel, eps=eps),

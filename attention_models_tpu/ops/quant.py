@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from attention_models_tpu.ops.ffn import _gelu_exact
+from attention_models_tpu.ops.ffn import _gelu_exact, pick_block_rows
 
 
 def quantize_weight(w: jnp.ndarray, *, axis: int = 0):
@@ -166,11 +166,7 @@ def fused_ffn_q8(
     i = two_i // 2
     xf = x.reshape(-1, d)
     n = xf.shape[0]
-    bn = min(block_rows, n)
-    while n % bn and bn > 8:
-        bn -= 8 if bn % 8 == 0 else bn % 8
-    if bn < 8 or n % bn:
-        raise ValueError(f"unsupported FFN row count {n}")
+    bn = pick_block_rows(n, block_rows)
 
     w1_q, s1 = quantize_weight(w1)
     w2_q, s2 = quantize_weight(w2)
@@ -290,11 +286,7 @@ def fused_ln_mlp_q8(
     hid = w1.shape[-1]
     xf = x.reshape(-1, d)
     n = xf.shape[0]
-    bn = min(block_rows, n)
-    while n % bn and bn > 8:
-        bn -= 8 if bn % 8 == 0 else bn % 8
-    if bn < 8 or n % bn:
-        raise ValueError(f"unsupported row count {n}")
+    bn = pick_block_rows(n, block_rows)
 
     w1_q, s1 = quantize_weight(w1)
     w2_q, s2 = quantize_weight(w2)
@@ -330,11 +322,3 @@ def fused_ln_mlp_q8(
       w1_q, s1, b1.reshape(1, hid).astype(jnp.float32),
       w2_q, s2, b2.reshape(1, d).astype(jnp.float32))
     return out.reshape(orig_shape)
-
-
-def quant_supported(platform: str | None = None) -> bool:
-    """int8 fast path gate: TPU backend only (the CPU/interpret path exists
-    for tests; on CPU the int8 dots are no faster than fp32)."""
-    if platform is None:
-        platform = jax.default_backend()
-    return platform in ("tpu", "axon")

@@ -295,7 +295,11 @@ def main():
 
     # W8A8 int8 recon (opt-in serving path, ops/quant.py): same weights,
     # quantized twin of the fused block kernels. Headline stays bf16.
+    # Skipped when no bf16 recon batch succeeded (best_bs=0 would time an
+    # empty batch and log a meaningless throughput row).
     try:
+        if not best_bs:
+            raise RuntimeError("no successful bf16 recon batch to mirror")
         model_q = vitvqgan_base(img_size=256, dtype=jnp.bfloat16,
                                 quant="int8")
         recon_q = jax.jit(lambda p, x: model_q.apply(p, x)[0])
@@ -310,6 +314,8 @@ def main():
 
     # ---- extra diagnostics: tokenizer encode + generator decode latency ----- #
     try:
+        if not best_bs:
+            raise RuntimeError("no successful recon batch to size encode")
         encode = jax.jit(
             lambda p, x: model.apply(p, x, method=ViTVQGAN.encode_imgs)
         )

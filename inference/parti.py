@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--resolution", type=int, default=256)
     ap.add_argument("--dim", type=int, default=512)
     ap.add_argument("--depth", type=int, default=6)
+    ap.add_argument("--quant", choices=["int8"], default=None,
+                    help="W8A8 int8 decode (TPU serving fast path)")
     args = ap.parse_args()
 
     import jax
@@ -45,7 +47,7 @@ def main():
         codebook_params=dict(codebook_size=8192, codebook_dim=32),
     )
     model = Parti(dim=args.dim, vq_config=vq_config, n_heads=8, d_head=64,
-                  depth=args.depth)
+                  depth=args.depth, quant=args.quant)
 
     ids = jnp.array(tokenize([args.prompt]))
     dummy = jnp.zeros((1, 3, args.resolution, args.resolution), jnp.float32)

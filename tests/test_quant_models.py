@@ -147,6 +147,47 @@ def test_vitvqgan_quant_tree_and_roundtrip():
     assert np.isfinite(np.asarray(out, np.float32)).all()
 
 
+def test_parti_quant_tree_and_cached_decode():
+    """Parti int8: identical param tree (incl. the quantized to_logits
+    head) and the cached KV-decode fori_loop — the only consumer that runs
+    quant_dot in decode mode — generates finite images."""
+    from attention_models_tpu.models.parti import Parti, parti_generate
+
+    kw = dict(dim=32, vq_config=VQ_CFG, max_length=4, n_heads=2, d_head=16,
+              depth=1, clip_width=32, clip_layers=1, clip_heads=2)
+    ids = jnp.zeros((1, 4), jnp.int32)
+    imgs = jnp.zeros((1, 3, 32, 32), jnp.float32)
+    ref = Parti(**kw)
+    q = Parti(**kw, quant="int8")
+    params = ref.init(jax.random.key(0), ids, imgs, method=Parti.init_all)
+    p_q = q.init(jax.random.key(0), ids, imgs, method=Parti.init_all)
+    assert _tree_spec(params) == _tree_spec(p_q)
+
+    out = parti_generate(q, params, ids, jax.random.key(2))
+    assert out.shape == (1, 3, 32, 32)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_parti_run_cache_is_lru(monkeypatch):
+    """A cache hit refreshes recency, so the hottest decode program
+    survives eviction pressure (FIFO would evict it first)."""
+    from collections import OrderedDict
+
+    from attention_models_tpu.models import parti as parti_mod
+
+    m = parti_mod.Parti(dim=32, vq_config=VQ_CFG, max_length=4, n_heads=2,
+                        d_head=16, depth=1, clip_width=32, clip_layers=1,
+                        clip_heads=2)
+    monkeypatch.setattr(parti_mod, "_RUN_CACHE", OrderedDict())
+    monkeypatch.setattr(parti_mod, "_RUN_CACHE_MAX", 2)
+    hot = parti_mod._parti_run(m, 0.9, True)
+    parti_mod._parti_run(m, 0.8, True)
+    assert parti_mod._parti_run(m, 0.9, True) is hot  # hit → most recent
+    parti_mod._parti_run(m, 0.7, True)  # evicts 0.8, not the hot entry
+    assert parti_mod._parti_run(m, 0.9, True) is hot
+    assert (id(m), 0.8, True) not in parti_mod._RUN_CACHE
+
+
 def test_trainer_refuses_quant_config():
     from attention_models_tpu.training.build_trainer import build_trainer
     from attention_models_tpu.utils.config import Config
