@@ -148,11 +148,18 @@ class Codebook(nn.Module):
 
     def nearest(self, z: jnp.ndarray) -> jnp.ndarray:
         """z: (..., d) — returns int32 indices with the reference's exact
-        distance math (fp32, L2-normed z and table, first-lowest argmin)."""
+        distance math (fp32, L2-normed z and table, first-lowest argmin).
+
+        When ``z`` arrives in bfloat16 (the model tower runs bf16, so ``z``
+        already carries bf16 rounding), the distance dots run on bf16
+        operands with f32 accumulation — exact-fp32 dots over bf16-derived
+        inputs add six MXU passes and no fidelity. The golden bit-match
+        path (fp32 model, inference/vitvqgan.py) is unaffected."""
         zn = l2_normalize(z.astype(jnp.float32))
         en = l2_normalize(self.embedding)
         flat = zn.reshape(-1, self.codebook_dim)
-        idx = nearest_codes(flat, en)
+        dot_dtype = jnp.bfloat16 if z.dtype == jnp.bfloat16 else None
+        idx = nearest_codes(flat, en, dot_dtype=dot_dtype)
         return idx.reshape(z.shape[:-1])
 
     def __call__(self, z):

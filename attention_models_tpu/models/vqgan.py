@@ -208,7 +208,9 @@ class CodebookCNN(nn.Module):
         zn = l2_normalize(z_nhwc.astype(jnp.float32))
         en = l2_normalize(self.embedding)
         flat = zn.reshape(-1, self.codebook_dim)
-        return nearest_codes(flat, en)  # flattened (b·h·w,), like the reference
+        # bf16 tower -> bf16 distance dots (see ViT Codebook.nearest)
+        dot_dtype = jnp.bfloat16 if z_nhwc.dtype == jnp.bfloat16 else None
+        return nearest_codes(flat, en, dot_dtype=dot_dtype)  # flat (b·h·w,)
 
     def __call__(self, z_nhwc):
         zn = l2_normalize(z_nhwc.astype(jnp.float32))

@@ -248,7 +248,7 @@ def main():
             "value": 0.0, "unit": "imgs/sec/chip", "vs_baseline": 0.0,
             "error": err,
             "note": "hardware unreachable at bench time; last healthy "
-                    "measurement: 1142 imgs/s/chip (docs/ROADMAP.md)",
+                    "measurement: 1218 imgs/s/chip (docs/ROADMAP.md)",
         }))
         return
 
