@@ -9,12 +9,19 @@ stay RESIDENT across the whole grid (constant index_map — fetched a single
 time), and only the (N, d) output leaves. HBM traffic per layer drops to
 x + out + weights ≈ 75MB.
 
-Forward-only fusion: the backward is a custom VJP that recomputes through
-the reference jnp formulation (same pattern as ops/layernorm.py), so
-training numerics are the plain-XLA ones and inference/recon get the fused
-path. Semantics match models/layers.py::FeedForward exactly: no-bias
+The backward is a Pallas kernel too (`_ffn_bwd_kernel`): one pass over the
+same row tiles recomputes h/ĝ blockwise in VMEM from the saved (x, weights)
+residuals — FlashAttention-style — and emits dx per tile while dw1/dγ/dw2
+accumulate in revisited fp32 VMEM output blocks (constant index_map, same
+pattern as ops/flash_attention.py's fused dq accumulator). Training HBM
+traffic per layer drops from ~1.3 GB (the unfused recompute materialized
+every (N, 2i)/(N, i) intermediate, LN math in fp32) to x + dy + dx +
+weights ≈ 100 MB; profiling showed the unfused FFN backward as the largest
+HBM consumer of the Muse train step (which is memory-bound at the v5e HBM
+roofline). Semantics match models/layers.py::FeedForward exactly: no-bias
 denses, gelu(approximate=False) on the FIRST half, gate from the second,
-fp32 LN statistics with scale-only gamma.
+fp32 LN statistics with scale-only gamma; in-kernel backward math runs in
+fp32 (LN stats, GELU derivative) with dots on the tower dtype.
 """
 
 from __future__ import annotations
@@ -157,13 +164,133 @@ def _ffn_fwd(eps, block_rows, interpret, x, w1, gamma, w2):
     )
 
 
+_INV_SQRT2 = 0.7071067811865476
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _ffn_bwd_kernel(
+    x_ref,  # (bn, d)
+    w1a_ref,  # (d, i) — resident (first half of w1)
+    w1b_ref,  # (d, i) — resident (gate half of w1)
+    gamma_ref,  # (1, i)
+    w2_ref,  # (i, d) — resident
+    dy_ref,  # (bn, d)
+    dx_ref,  # (bn, d) — per tile
+    dw1a_ref,  # (d, i) fp32 accumulator (constant index_map)
+    dw1b_ref,  # (d, i) fp32 accumulator
+    dg_ref,  # (1, i) fp32 accumulator
+    dw2_ref,  # (i, d) fp32 accumulator
+    *,
+    eps: float,
+):
+    dtype = x_ref.dtype
+    prec = _dot_precision(dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw1a_ref[...] = jnp.zeros_like(dw1a_ref)
+        dw1b_ref[...] = jnp.zeros_like(dw1b_ref)
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+
+    def dot(lhs, rhs, dims):
+        return jax.lax.dot_general(
+            lhs, rhs, dimension_numbers=(dims, ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    # --- recompute the forward blockwise (fp32 internals) ---------------- #
+    x = x_ref[...]
+    a = dot(x, w1a_ref[...], ((1,), (0,)))  # (bn, i) fp32
+    gate = dot(x, w1b_ref[...], ((1,), (0,)))
+    phi = 0.5 * (1.0 + _erf_approx(a * _INV_SQRT2))  # Φ(a)
+    ga = a * phi  # gelu(a)
+    g = gate * ga
+    mean = jnp.mean(g, axis=-1, keepdims=True)
+    c = g - mean
+    var = jnp.mean(c * c, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    ghat = c * rstd
+    gamma32 = gamma_ref[...].astype(jnp.float32)
+    y = (ghat * gamma32).astype(dtype)
+
+    # --- backward --------------------------------------------------------- #
+    do = dy_ref[...].astype(dtype)
+    dw2_ref[...] += dot(y, do, ((0,), (0,)))  # yᵀ·do → (i, d)
+    dy_ln = dot(do, w2_ref[...], ((1,), (1,)))  # do·w2ᵀ → (bn, i) fp32
+    dg_ref[...] += jnp.sum(dy_ln * ghat, axis=0, keepdims=True)
+    dghat = dy_ln * gamma32
+    m1 = jnp.mean(dghat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dghat * ghat, axis=-1, keepdims=True)
+    dgrow = rstd * (dghat - m1 - ghat * m2)  # LN backward, rowwise
+    dgate = (dgrow * ga).astype(dtype)
+    pdf = jnp.exp(-0.5 * a * a) * _INV_SQRT_2PI  # φ(a)
+    da = (dgrow * gate * (phi + a * pdf)).astype(dtype)
+    dx = (
+        dot(da, w1a_ref[...], ((1,), (1,)))
+        + dot(dgate, w1b_ref[...], ((1,), (1,)))
+    )
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+    dw1a_ref[...] += dot(x, da, ((0,), (0,)))  # xᵀ·da → (d, i)
+    dw1b_ref[...] += dot(x, dgate, ((0,), (0,)))
+
+
+def _ffn_bwd_pallas(x, w1, gamma, w2, dy, *, eps, block_rows, interpret):
+    orig_shape = x.shape
+    d = orig_shape[-1]
+    two_i = w1.shape[-1]
+    i = two_i // 2
+    xf = x.reshape(-1, d)
+    dyf = dy.reshape(-1, d)
+    n = xf.shape[0]
+    # smaller default tile than forward: the bwd keeps ~8 (bn, i) fp32
+    # intermediates live next to the resident weights + dW accumulators
+    bn = pick_block_rows(n, block_rows)
+
+    w1c = w1.astype(x.dtype)
+    w2c = w2.astype(x.dtype)
+    res = lambda s0, s1: pl.BlockSpec(  # noqa: E731 — resident block
+        (s0, s1), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    tile = lambda: pl.BlockSpec(  # noqa: E731
+        (bn, d), lambda t: (t, 0), memory_space=pltpu.VMEM)
+    dx, dw1a, dw1b, dgam, dw2 = pl.pallas_call(
+        functools.partial(_ffn_bwd_kernel, eps=eps),
+        grid=(n // bn,),
+        in_specs=[tile(), res(d, i), res(d, i), res(1, i), res(i, d), tile()],
+        out_specs=[tile(), res(d, i), res(d, i), res(1, i), res(i, d)],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, d), x.dtype),
+            jax.ShapeDtypeStruct((d, i), jnp.float32),
+            jax.ShapeDtypeStruct((d, i), jnp.float32),
+            jax.ShapeDtypeStruct((1, i), jnp.float32),
+            jax.ShapeDtypeStruct((i, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * (2 * n * d * two_i + 2 * n * i * d),
+            bytes_accessed=(3 * xf.size + 2 * (w1.size + w2.size))
+            * x.dtype.itemsize,
+            transcendentals=2 * n * i,
+        ),
+        interpret=interpret,
+    )(xf, w1c[:, :i], w1c[:, i:], gamma.reshape(1, i).astype(x.dtype),
+      w2c, dyf)
+    dw1 = jnp.concatenate([dw1a, dw1b], axis=1)
+    return (
+        dx.reshape(orig_shape),
+        dw1.astype(w1.dtype),
+        dgam.reshape(-1).astype(gamma.dtype),
+        dw2.astype(w2.dtype),
+    )
+
+
 def _ffn_bwd(eps, block_rows, interpret, res, g):
     x, w1, gamma, w2 = res
-    _, vjp = jax.vjp(
-        lambda x, w1, ga, w2: _ffn_reference(x, w1, ga, w2, eps),
-        x, w1, gamma, w2,
-    )
-    return vjp(g)
+    return _ffn_bwd_pallas(x, w1, gamma, w2, g, eps=eps,
+                           block_rows=min(block_rows, 128),
+                           interpret=interpret)
 
 
 _ffn.defvjp(_ffn_fwd, _ffn_bwd)
