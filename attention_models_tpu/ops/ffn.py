@@ -415,10 +415,99 @@ def _mlp_fwd(block_rows, interpret, x, w1, b1, w2, b2):
     )
 
 
+def _mlp_bwd_kernel(
+    x_ref,  # (bn, d)
+    w1_ref,  # (d, hid) — resident
+    b1_ref,  # (1, hid)
+    w2_ref,  # (hid, d) — resident
+    dy_ref,  # (bn, d)
+    dx_ref,  # (bn, d) — per tile
+    dw1_ref,  # (d, hid) fp32 accumulator (constant index_map)
+    db1_ref,  # (1, hid) fp32 accumulator
+    dw2_ref,  # (hid, d) fp32 accumulator
+    db2_ref,  # (1, d) fp32 accumulator
+):
+    dtype = x_ref.dtype
+    prec = _dot_precision(dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    def dot(lhs, rhs, dims):
+        return jax.lax.dot_general(
+            lhs, rhs, dimension_numbers=(dims, ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    x = x_ref[...]
+    h = dot(x, w1_ref[...], ((1,), (0,))) + b1_ref[...].astype(jnp.float32)
+    phi = 0.5 * (1.0 + _erf_approx(h * _INV_SQRT2))
+    g = (h * phi).astype(dtype)
+
+    do = dy_ref[...]
+    do32 = do.astype(jnp.float32)
+    db2_ref[...] += jnp.sum(do32, axis=0, keepdims=True)
+    dw2_ref[...] += dot(g, do, ((0,), (0,)))  # gᵀ·do → (hid, d)
+    dg = dot(do, w2_ref[...], ((1,), (1,)))  # do·w2ᵀ → (bn, hid) fp32
+    pdf = jnp.exp(-0.5 * h * h) * _INV_SQRT_2PI
+    dh = dg * (phi + h * pdf)
+    db1_ref[...] += jnp.sum(dh, axis=0, keepdims=True)
+    dhc = dh.astype(dtype)
+    dx_ref[...] = dot(dhc, w1_ref[...], ((1,), (1,))).astype(dx_ref.dtype)
+    dw1_ref[...] += dot(x, dhc, ((0,), (0,)))  # xᵀ·dh → (d, hid)
+
+
 def _mlp_bwd(block_rows, interpret, res, g):
     x, w1, b1, w2, b2 = res
-    _, vjp = jax.vjp(_mlp_reference, x, w1, b1, w2, b2)
-    return vjp(g)
+    orig_shape = x.shape
+    d = orig_shape[-1]
+    hid = w1.shape[-1]
+    xf = x.reshape(-1, d)
+    dyf = g.reshape(-1, d)
+    n = xf.shape[0]
+    bn = pick_block_rows(n, min(block_rows, 128))
+
+    res_spec = lambda s0, s1: pl.BlockSpec(  # noqa: E731
+        (s0, s1), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    tile = lambda: pl.BlockSpec(  # noqa: E731
+        (bn, d), lambda t: (t, 0), memory_space=pltpu.VMEM)
+    dx, dw1, db1, dw2, db2 = pl.pallas_call(
+        _mlp_bwd_kernel,
+        grid=(n // bn,),
+        in_specs=[tile(), res_spec(d, hid), res_spec(1, hid),
+                  res_spec(hid, d), tile()],
+        out_specs=[tile(), res_spec(d, hid), res_spec(1, hid),
+                   res_spec(hid, d), res_spec(1, d)],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, d), x.dtype),
+            jax.ShapeDtypeStruct((d, hid), jnp.float32),
+            jax.ShapeDtypeStruct((1, hid), jnp.float32),
+            jax.ShapeDtypeStruct((hid, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * n * d * hid,
+            bytes_accessed=(3 * xf.size + 2 * (w1.size + w2.size))
+            * x.dtype.itemsize,
+            transcendentals=2 * n * hid,
+        ),
+        interpret=interpret,
+    )(xf, w1.astype(x.dtype), b1.reshape(1, hid).astype(x.dtype),
+      w2.astype(x.dtype), dyf)
+    return (
+        dx.reshape(orig_shape),
+        dw1.astype(w1.dtype),
+        db1.reshape(-1).astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2.reshape(-1).astype(b2.dtype),
+    )
 
 
 _mlp.defvjp(_mlp_fwd, _mlp_bwd)
@@ -556,12 +645,128 @@ def _ln_mlp_fwd(eps, block_rows, interpret, x, lng, lnb, w1, b1, w2, b2):
     )
 
 
+def _ln_mlp_bwd_kernel(
+    x_ref,  # (bn, d)
+    lng_ref,  # (1, d)
+    lnb_ref,  # (1, d)
+    w1_ref,  # (d, hid) — resident
+    b1_ref,  # (1, hid)
+    w2_ref,  # (hid, d) — resident
+    dy_ref,  # (bn, d)
+    dx_ref,  # (bn, d) — per tile
+    dlng_ref,  # (1, d) fp32 accumulator (constant index_map)
+    dlnb_ref,  # (1, d) fp32 accumulator
+    dw1_ref,  # (d, hid) fp32 accumulator
+    db1_ref,  # (1, hid) fp32 accumulator
+    dw2_ref,  # (hid, d) fp32 accumulator
+    db2_ref,  # (1, d) fp32 accumulator
+    *,
+    eps: float,
+):
+    dtype = x_ref.dtype
+    prec = _dot_precision(dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dlng_ref[...] = jnp.zeros_like(dlng_ref)
+        dlnb_ref[...] = jnp.zeros_like(dlnb_ref)
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    def dot(lhs, rhs, dims):
+        return jax.lax.dot_general(
+            lhs, rhs, dimension_numbers=(dims, ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    # --- recompute the forward blockwise (fp32 internals) ---------------- #
+    x32 = x_ref[...].astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    c = x32 - mean
+    var = jnp.mean(c * c, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = c * rstd
+    lng32 = lng_ref[...].astype(jnp.float32)
+    yc = (xhat * lng32 + lnb_ref[...].astype(jnp.float32)).astype(dtype)
+    h = dot(yc, w1_ref[...], ((1,), (0,))) + b1_ref[...].astype(jnp.float32)
+    phi = 0.5 * (1.0 + _erf_approx(h * _INV_SQRT2))
+    g = (h * phi).astype(dtype)
+
+    # --- backward --------------------------------------------------------- #
+    do = dy_ref[...]
+    do32 = do.astype(jnp.float32)
+    db2_ref[...] += jnp.sum(do32, axis=0, keepdims=True)
+    dw2_ref[...] += dot(g, do, ((0,), (0,)))  # gᵀ·do → (hid, d)
+    dg = dot(do, w2_ref[...], ((1,), (1,)))  # do·w2ᵀ → (bn, hid) fp32
+    pdf = jnp.exp(-0.5 * h * h) * _INV_SQRT_2PI
+    dh = dg * (phi + h * pdf)
+    db1_ref[...] += jnp.sum(dh, axis=0, keepdims=True)
+    dhc = dh.astype(dtype)
+    dw1_ref[...] += dot(yc, dhc, ((0,), (0,)))  # ycᵀ·dh → (d, hid)
+    dy_ln = dot(dhc, w1_ref[...], ((1,), (1,)))  # dh·w1ᵀ → (bn, d) fp32
+    dlng_ref[...] += jnp.sum(dy_ln * xhat, axis=0, keepdims=True)
+    dlnb_ref[...] += jnp.sum(dy_ln, axis=0, keepdims=True)
+    dxhat = dy_ln * lng32
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = do32 + rstd * (dxhat - m1 - xhat * m2)  # residual + LN backward
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+
 def _ln_mlp_bwd(eps, block_rows, interpret, res, g):
     x, lng, lnb, w1, b1, w2, b2 = res
-    _, vjp = jax.vjp(
-        lambda *a: _ln_mlp_reference(*a, eps), x, lng, lnb, w1, b1, w2, b2
+    orig_shape = x.shape
+    d = orig_shape[-1]
+    hid = w1.shape[-1]
+    xf = x.reshape(-1, d)
+    dyf = g.reshape(-1, d)
+    n = xf.shape[0]
+    bn = pick_block_rows(n, min(block_rows, 128))
+
+    res_spec = lambda s0, s1: pl.BlockSpec(  # noqa: E731
+        (s0, s1), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    tile = lambda: pl.BlockSpec(  # noqa: E731
+        (bn, d), lambda t: (t, 0), memory_space=pltpu.VMEM)
+    dx, dlng, dlnb, dw1, db1, dw2, db2 = pl.pallas_call(
+        functools.partial(_ln_mlp_bwd_kernel, eps=eps),
+        grid=(n // bn,),
+        in_specs=[tile(), res_spec(1, d), res_spec(1, d), res_spec(d, hid),
+                  res_spec(1, hid), res_spec(hid, d), tile()],
+        out_specs=[tile(), res_spec(1, d), res_spec(1, d), res_spec(d, hid),
+                   res_spec(1, hid), res_spec(hid, d), res_spec(1, d)],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, d), x.dtype),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, hid), jnp.float32),
+            jax.ShapeDtypeStruct((1, hid), jnp.float32),
+            jax.ShapeDtypeStruct((hid, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * n * d * hid,
+            bytes_accessed=(3 * xf.size + 2 * (w1.size + w2.size))
+            * x.dtype.itemsize,
+            transcendentals=2 * n * hid,
+        ),
+        interpret=interpret,
+    )(xf, lng.reshape(1, d).astype(x.dtype), lnb.reshape(1, d).astype(x.dtype),
+      w1.astype(x.dtype), b1.reshape(1, hid).astype(x.dtype),
+      w2.astype(x.dtype), dyf)
+    return (
+        dx.reshape(orig_shape),
+        dlng.reshape(-1).astype(lng.dtype),
+        dlnb.reshape(-1).astype(lnb.dtype),
+        dw1.astype(w1.dtype),
+        db1.reshape(-1).astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2.reshape(-1).astype(b2.dtype),
     )
-    return vjp(g)
 
 
 _ln_mlp.defvjp(_ln_mlp_fwd, _ln_mlp_bwd)
