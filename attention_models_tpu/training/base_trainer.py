@@ -232,14 +232,20 @@ class BaseTrainer:
 
     # -- observability ------------------------------------------------------
     def tick(self, sync_on=None):
-        """Call once per train step, right after the step call. Updates the
-        step-latency EMA (logged at the ``log_every`` cadence as
-        ``step_time_ms`` / ``imgs_per_sec``) and opens/closes the
+        """Call once per train step, right after the step call. Counts the
+        step WITHOUT synchronizing the device — a per-step sync serializes
+        dispatch (the host can't enqueue step N+1 until step N's outputs
+        land, leaving the TPU idle between steps) — and syncs once at the
+        ``log_every`` cadence, logging the window's true per-step average
+        as ``step_time_ms`` / ``imgs_per_sec``. Also opens/closes the
         config-gated profiler window."""
         t = self.step_timer
-        if t._t0 is not None:
-            dt = t.stop(sync_on=sync_on)
+        if t._t0 is None:
+            t.start()  # first tick: open after the compile step completes
+        else:
+            t.lap()
             if self.log_every and not self.global_step % self.log_every:
+                dt = t.stop(sync_on=sync_on)
                 self.metrics.log(
                     {
                         "step_time_ms": 1000.0 * dt,
@@ -248,7 +254,7 @@ class BaseTrainer:
                     },
                     self.global_step,
                 )
-        t.start()
+                t.start()
         if self._profile_start is None:
             return
         start = int(self._profile_start)

@@ -44,18 +44,35 @@ def force_sync(out) -> None:
 
 
 class StepTimer:
+    """Windowed step timer: ``lap()`` counts steps WITHOUT synchronizing —
+    a per-step device sync would serialize dispatch (the host can't enqueue
+    step N+1 until step N's outputs land, leaving the TPU idle between
+    steps; measured ~40-80 ms/step of dead time on the Muse train loop).
+    ``stop(sync_on=...)`` syncs once at the logging cadence and returns the
+    window's true per-step average (elapsed / laps); the EMA smooths across
+    windows."""
+
     def __init__(self, ema: float = 0.9):
         self._ema = ema
         self._avg = None
         self._t0 = None
+        self._laps = 0
 
     def start(self):
+        """Open a timing window (call right after a step completes)."""
         self._t0 = time.perf_counter()
+        self._laps = 0
+
+    def lap(self):
+        """Record one finished step without syncing the device."""
+        self._laps += 1
 
     def stop(self, sync_on=None) -> float:
+        """Close the window: sync, return the window's per-step average.
+        The current step must have been counted with ``lap()`` already."""
         if sync_on is not None:
             force_sync(sync_on)
-        dt = time.perf_counter() - self._t0
+        dt = (time.perf_counter() - self._t0) / max(self._laps, 1)
         self._avg = dt if self._avg is None else (
             self._ema * self._avg + (1 - self._ema) * dt
         )
