@@ -275,7 +275,7 @@ def _ffn_bwd_pallas(x, w1, gamma, w2, dy, *, eps, block_rows, interpret):
             transcendentals=2 * n * i,
         ),
         interpret=interpret,
-    )(xf, w1c[:, :i], w1c[:, i:], gamma.reshape(1, i).astype(x.dtype),
+    )(xf, w1c[:, :i], w1c[:, i:], gamma.reshape(1, i).astype(jnp.float32),
       w2c, dyf)
     dw1 = jnp.concatenate([dw1a, dw1b], axis=1)
     return (
@@ -499,7 +499,7 @@ def _mlp_bwd(block_rows, interpret, res, g):
             transcendentals=2 * n * hid,
         ),
         interpret=interpret,
-    )(xf, w1.astype(x.dtype), b1.reshape(1, hid).astype(x.dtype),
+    )(xf, w1.astype(x.dtype), b1.reshape(1, hid).astype(jnp.float32),
       w2.astype(x.dtype), dyf)
     return (
         dx.reshape(orig_shape),
@@ -755,8 +755,9 @@ def _ln_mlp_bwd(eps, block_rows, interpret, res, g):
             transcendentals=2 * n * hid,
         ),
         interpret=interpret,
-    )(xf, lng.reshape(1, d).astype(x.dtype), lnb.reshape(1, d).astype(x.dtype),
-      w1.astype(x.dtype), b1.reshape(1, hid).astype(x.dtype),
+    )(xf, lng.reshape(1, d).astype(jnp.float32),
+      lnb.reshape(1, d).astype(jnp.float32),
+      w1.astype(x.dtype), b1.reshape(1, hid).astype(jnp.float32),
       w2.astype(x.dtype), dyf)
     return (
         dx.reshape(orig_shape),
