@@ -60,7 +60,10 @@ class BiDirectionalTransformer(nn.Module):
     quant: str | None = None  # "int8": W8A8 inference path (ops/quant.py)
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, targets=None):
+        """With ``targets`` (training): returns the masked mean CE directly
+        via the fused Pallas head-xent kernel on TPU — the (N, vocab)
+        logits never reach HBM (ops/xent.py). Without: returns logits."""
         emb = nn.Embed(
             self.vocab_size + 1, self.dim, dtype=self.dtype,
             embedding_init=trunc_normal02, name="input_proj",
@@ -78,17 +81,34 @@ class BiDirectionalTransformer(nn.Module):
             quant=self.quant, name="decoder",
         )(h, deterministic=deterministic)
         h = GammaLayerNorm(self.dim, dtype=self.dtype, name="final_norm")(h)
+        from attention_models_tpu.models.layers import _DenseKernel
+
+        # same pytree path ("linear/kernel"), init and math as the previous
+        # nn.Dense(use_bias=False, dtype) — the raw kernel also feeds the
+        # int8 and fused-xent paths
+        kernel = _DenseKernel((h.shape[-1], self.vocab_size),
+                              kernel_init=trunc_normal02, name="linear")()
+        if targets is not None:
+            from attention_models_tpu.ops.xent import (
+                fused_head_xent,
+                head_xent_supported,
+            )
+
+            if self.quant is None and head_xent_supported(
+                    h.shape, h.shape[-1], self.vocab_size):
+                return fused_head_xent(h, kernel, targets)
+            if self.quant == "int8":  # eval-loss of a quantized model
+                from attention_models_tpu.ops.quant import quant_dot
+
+                logits = quant_dot(h, kernel, out_dtype=self.dtype)
+            else:
+                logits = jnp.dot(h, kernel.astype(self.dtype))
+            return cross_entropy_ignore_index(logits, targets)
         if self.quant == "int8":
-            from attention_models_tpu.models.layers import _DenseKernel
             from attention_models_tpu.ops.quant import quant_dot
 
-            kernel = _DenseKernel((h.shape[-1], self.vocab_size),
-                                  kernel_init=trunc_normal02, name="linear")()
             return quant_dot(h, kernel, out_dtype=self.dtype)
-        return nn.Dense(
-            self.vocab_size, use_bias=False, dtype=self.dtype,
-            kernel_init=trunc_normal02, name="linear",
-        )(h)
+        return jnp.dot(h, kernel.astype(self.dtype))
 
 
 class MaskGitTransformer(nn.Module):
@@ -148,10 +168,9 @@ class MaskGitTransformer(nn.Module):
         inputs, targets = mask_fill_inputs_and_targets(
             indices, mask, self.mask_token_id
         )
-        logits = self.bidirectional_transformer(
-            inputs, deterministic=deterministic
+        return self.bidirectional_transformer(
+            inputs, deterministic=deterministic, targets=targets
         )
-        return cross_entropy_ignore_index(logits, targets)
 
     # -- eval reconstruction (the reference's eval branch of forward) ----------
     def reconstruct(self, imgs, rng: jax.Array):

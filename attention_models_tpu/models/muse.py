@@ -61,7 +61,11 @@ class BidirectionalDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, indices, context, context_mask=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, targets=None):
+        """With ``targets`` (training): returns the masked mean CE directly,
+        routing the head matmul + softmax through the fused Pallas
+        head-xent kernel on TPU — the (N, vocab) logits never reach HBM
+        (ops/xent.py). Without ``targets``: returns logits (decode path)."""
         x = nn.Embed(
             self.codebook_size + 1, self.dim, dtype=self.dtype,
             embedding_init=trunc_normal02, name="token_emb",
@@ -78,17 +82,34 @@ class BidirectionalDecoder(nn.Module):
             quant=self.quant, name="decoder",
         )(x, context, context_mask=context_mask, deterministic=deterministic)
         x = GammaLayerNorm(self.dim, dtype=self.dtype, name="final_norm")(x)
+        from attention_models_tpu.models.layers import _DenseKernel
+
+        # same pytree path ("linear/kernel"), init and math as the previous
+        # nn.Dense(use_bias=False, dtype) — the raw kernel also feeds the
+        # int8 and fused-xent paths
+        kernel = _DenseKernel((x.shape[-1], self.codebook_size),
+                              kernel_init=trunc_normal02, name="linear")()
+        if targets is not None:
+            from attention_models_tpu.ops.xent import (
+                fused_head_xent,
+                head_xent_supported,
+            )
+
+            if self.quant is None and head_xent_supported(
+                    x.shape, x.shape[-1], self.codebook_size):
+                return fused_head_xent(x, kernel, targets)
+            if self.quant == "int8":  # eval-loss of a quantized model
+                from attention_models_tpu.ops.quant import quant_dot
+
+                logits = quant_dot(x, kernel, out_dtype=self.dtype)
+            else:
+                logits = jnp.dot(x, kernel.astype(self.dtype))
+            return cross_entropy_ignore_index(logits, targets)
         if self.quant == "int8":
-            from attention_models_tpu.models.layers import _DenseKernel
             from attention_models_tpu.ops.quant import quant_dot
 
-            kernel = _DenseKernel((x.shape[-1], self.codebook_size),
-                                  kernel_init=trunc_normal02, name="linear")()
             return quant_dot(x, kernel, out_dtype=self.dtype)
-        return nn.Dense(
-            self.codebook_size, use_bias=False, dtype=self.dtype,
-            kernel_init=trunc_normal02, name="linear",
-        )(x)
+        return jnp.dot(x, kernel.astype(self.dtype))
 
 
 class MUSE(nn.Module):
@@ -169,8 +190,8 @@ class MUSE(nn.Module):
         )
         text_embeds = text_embeds * keep.astype(text_embeds.dtype)
 
-        logits = self.decoder(inputs, text_embeds, deterministic=deterministic)
-        return cross_entropy_ignore_index(logits, targets)
+        return self.decoder(inputs, text_embeds, deterministic=deterministic,
+                            targets=targets)
 
     # -- iterative parallel decode with CFG --------------------------------------
     def generate(
