@@ -58,6 +58,45 @@ class _QuantDense(nn.Module):
             + bias.astype(self.dtype)
 
 
+class _XentHead(nn.Module):
+    """nn.Dense twin (identical kernel/bias params, init, and dtype math)
+    that can also return the teacher-forcing CE loss directly: with
+    ``targets`` it routes the head matmul + softmax through the fused
+    Pallas head-xent kernel on TPU — the (N, vocab) logits never reach HBM
+    (ops/xent.py). Reference loss formulation: parti.py:76-83."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, targets=None):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        if targets is not None:
+            from attention_models_tpu.ops.sampling import (
+                cross_entropy_ignore_index,
+            )
+            from attention_models_tpu.ops.xent import (
+                fused_head_xent,
+                head_xent_supported,
+            )
+
+            # Parti's loss is an unmasked mean (every position trains), so
+            # ignore_index=-1 with non-negative labels reduces to the mean.
+            if head_xent_supported(x.shape, x.shape[-1], self.features):
+                return fused_head_xent(x, kernel, targets, bias=bias)
+            logits = (jnp.dot(x, kernel.astype(self.dtype))
+                      + bias.astype(self.dtype))
+            return cross_entropy_ignore_index(logits, targets)
+        return (jnp.dot(x, kernel.astype(self.dtype))
+                + bias.astype(self.dtype))
+
+
 class Parti(nn.Module):
     dim: int
     vq_config: dict  # {"kind": "vqgan"|"vitvqgan", ...constructor args}
@@ -99,7 +138,7 @@ class Parti(nn.Module):
         if self.quant == "int8":
             self.to_logits = _QuantDense(self.codebook_size, dtype=self.dtype)
         else:
-            self.to_logits = nn.Dense(self.codebook_size, dtype=self.dtype)
+            self.to_logits = _XentHead(self.codebook_size, dtype=self.dtype)
 
     def _embed_prefix(self, indices, deterministic: bool = True):
         """start token + embedded indices, with sinusoidal PE applied to the
@@ -142,7 +181,9 @@ class Parti(nn.Module):
             dec_in, text_embeds, causal=True, deterministic=deterministic
         )
         dec_out = self.final_norm(dec_out)
-        logits = self.to_logits(dec_out)
+        if isinstance(self.to_logits, _XentHead):
+            return self.to_logits(dec_out, targets=labels)
+        logits = self.to_logits(dec_out)  # int8 eval-loss path
 
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]

@@ -47,6 +47,31 @@ def test_fused_head_xent_gradients_match_reference():
                                    atol=2e-6, rtol=2e-5)
 
 
+def test_fused_head_xent_bias_matches_reference():
+    """Parti's biased to_logits head: values + gradients incl. dbias."""
+    h, w, _ = _setup(seed=3)
+    rs = np.random.RandomState(4)
+    b = jnp.array(rs.randn(w.shape[-1]) * 0.1, jnp.float32)
+    targets = jnp.array(rs.randint(0, w.shape[-1], size=(2, 32)), jnp.int32)
+
+    def loss_fused(h, w, b):
+        return fused_head_xent(h, w, targets, bias=b, block_rows=16,
+                               interpret=True)
+
+    def loss_ref(h, w, b):
+        logits = jnp.dot(h, w.astype(h.dtype)) + b.astype(h.dtype)
+        return cross_entropy_ignore_index(logits, targets)
+
+    np.testing.assert_allclose(
+        np.asarray(loss_fused(h, w, b)), np.asarray(loss_ref(h, w, b)),
+        atol=2e-6, rtol=2e-6)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(h, w, b)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(h, w, b)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-6, rtol=2e-5)
+
+
 def test_fused_head_xent_all_ignored_is_finite():
     h, w, _ = _setup(seed=2)
     targets = jnp.full((2, 32), -1, jnp.int32)
