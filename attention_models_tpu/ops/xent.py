@@ -230,7 +230,10 @@ def fused_head_xent(
     docstring)."""
     d = h.shape[-1]
     hf = h.reshape(-1, d)
-    tf = targets.reshape(-1)
+    # match the unfused formulation's numpy broadcasting: CE(logits(B,t,V),
+    # targets(1,t)) broadcasts targets over the batch (hit by e.g. MUSE.
+    # init_all, which inits with text batch > image batch)
+    tf = jnp.broadcast_to(targets, h.shape[:-1]).reshape(-1)
     nll = _head_nll(block_rows, interpret, hf, w, bias, tf)
     valid = tf != ignore_index
     nll = jnp.where(valid, nll, 0.0)

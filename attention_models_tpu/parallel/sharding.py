@@ -22,7 +22,7 @@ from typing import Any, Sequence
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from attention_models_tpu.parallel.mesh import MODEL_AXIS, STAGE_AXIS
+from attention_models_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, STAGE_AXIS
 
 # (path regex, PartitionSpec). First match wins; no match -> replicated.
 # Paths look like "encoder/layers_0/self_attn/wq/kernel".
@@ -55,11 +55,43 @@ def param_shardings(
     params: Any,
     mesh: Mesh,
     rules: Sequence[tuple[str, P]] | None = None,
+    *,
+    fsdp_axis: str | None = None,
+    fsdp_min_size: int = 1 << 16,
 ) -> Any:
-    """Return a pytree of NamedShardings matching ``params``' structure."""
+    """Return a pytree of NamedShardings matching ``params``' structure.
+
+    ``fsdp_axis`` (typically ``DATA_AXIS``) enables ZeRO-3-style fully
+    sharded data parallelism on top of the rule table: every large leaf
+    additionally shards one rule-unsharded dimension over that axis, so
+    parameters AND optimizer moments (same pytree paths) split across the
+    data-parallel devices instead of replicating. XLA GSPMD inserts the
+    all-gather at each use and reduce-scatters the gradients — the standard
+    FSDP-via-GSPMD recipe (the reference's Accelerate stack has no
+    equivalent; its DDP replicates everything). Leaves smaller than
+    ``fsdp_min_size`` elements (biases, LayerNorm gammas, scalars) stay
+    replicated: per-use collectives would cost more than the bytes saved."""
     rules = DEFAULT_PARAM_RULES if rules is None else rules
     compiled = [(re.compile(rx), spec) for rx, spec in rules]
     n_stages = mesh.shape.get(STAGE_AXIS, 1)
+    n_fsdp = mesh.shape.get(fsdp_axis, 1) if fsdp_axis else 1
+
+    def fsdp_augment(spec: P, leaf) -> P:
+        """Shard the largest rule-unsharded, divisible dim over fsdp_axis."""
+        # non-array leaves (the int step counter, empty optax states) stay
+        # replicated — they have no shape to split
+        if n_fsdp <= 1 or getattr(leaf, "size", 0) < fsdp_min_size:
+            return spec
+        dims = list(spec) + [None] * (leaf.ndim - len(spec))
+        best = -1
+        for i, ax in enumerate(dims):
+            if ax is None and leaf.shape[i] % n_fsdp == 0:
+                if best < 0 or leaf.shape[i] > leaf.shape[best]:
+                    best = i
+        if best < 0:
+            return spec
+        dims[best] = fsdp_axis
+        return P(*dims)
 
     def assign(path, leaf):
         ps = _path_str(path)
@@ -84,12 +116,15 @@ def param_shardings(
                         lead[0] = STAGE_AXIS
                     spec = P(*lead, *spec)
                 if len(spec) == leaf.ndim and _divisible(leaf, spec, mesh):
-                    return NamedSharding(mesh, spec)
+                    return NamedSharding(mesh, fsdp_augment(spec, leaf))
         if staged:
             return NamedSharding(
-                mesh, P(STAGE_AXIS, *([None] * (leaf.ndim - 1)))
+                mesh,
+                fsdp_augment(
+                    P(STAGE_AXIS, *([None] * (leaf.ndim - 1))), leaf
+                ),
             )
-        return NamedSharding(mesh, P())
+        return NamedSharding(mesh, fsdp_augment(P(), leaf))
 
     return jax.tree_util.tree_map_with_path(assign, params)
 

@@ -59,6 +59,13 @@ class BaseTrainer:
         tp = int(cfg.training.get("tensor_parallel", 1) or 1)
         sp = int(cfg.training.get("sequence_parallel", 1) or 1)
         pp = int(cfg.training.get("pipeline_parallel", 1) or 1)
+        self.fsdp = bool(cfg.training.get("fsdp", False))
+        if self.fsdp and pp > 1:
+            raise ValueError(
+                "training.fsdp composes with data/tensor/sequence "
+                "parallelism; the pipeline stage axis already shards the "
+                "layer stack — set one of fsdp / pipeline_parallel, not both"
+            )
         if tp * sp * pp > len(jax.devices()):
             raise ValueError(
                 f"tensor_parallel*sequence_parallel*pipeline_parallel = "
@@ -287,12 +294,23 @@ class BaseTrainer:
         """Place the full train state on the mesh: weight matrices (and
         their optimizer moments, which share the params' pytree paths) get
         the tensor/expert-parallel shardings from parallel/sharding.py;
-        everything else is explicitly replicated. Returns (placed_state,
-        shardings) — pass the shardings as the step's ``out_shardings`` so
-        updated states stay placed instead of falling back to replication."""
+        ``training.fsdp: true`` additionally shards every large leaf over
+        the data axis (ZeRO-3 — params and moments split across the
+        data-parallel devices, GSPMD all-gathers at use); everything else is
+        explicitly replicated. Returns (placed_state, shardings) — pass the
+        shardings as the step's ``out_shardings`` so updated states stay
+        placed instead of falling back to replication."""
         from attention_models_tpu.parallel import param_shardings, shard_pytree
+        from attention_models_tpu.parallel.mesh import DATA_AXIS
 
-        shardings = param_shardings(state, self.mesh)
+        min_size = int(
+            self.cfg.training.get("fsdp_min_size", 1 << 16) or 1 << 16
+        )
+        shardings = param_shardings(
+            state, self.mesh,
+            fsdp_axis=DATA_AXIS if self.fsdp else None,
+            fsdp_min_size=min_size,
+        )
         return shard_pytree(state, shardings), shardings
 
     def log_image_grid(self, images, path: str, name: str, nrow: int = 6):
