@@ -362,4 +362,8 @@ def cross_entropy_ignore_index(
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
     nll = jnp.where(valid, nll, 0.0)
-    return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
+    # broadcast the valid count to nll's shape: targets (1, n) against
+    # logits (b, n, c) contribute b*n positions to the mean, not n (hit by
+    # MUSE.init_all's text-batch > image-batch init shapes)
+    n_valid = jnp.sum(jnp.broadcast_to(valid, nll.shape))
+    return jnp.sum(nll) / jnp.maximum(n_valid, 1)

@@ -82,3 +82,17 @@ def test_fused_head_xent_all_ignored_is_finite():
                                   interpret=True)
     )(h)
     assert np.all(np.asarray(g) == 0.0)
+
+
+def test_fused_head_xent_broadcasts_targets_over_batch():
+    """targets (1, t) against h (B, t, d) must broadcast over the batch like
+    the unfused CE's numpy broadcasting does — hit by MUSE.init_all, which
+    inits with text batch > image batch."""
+    h, w, _ = _setup()
+    rs = np.random.RandomState(3)
+    targets = jnp.array(rs.randint(0, w.shape[1], size=(1, h.shape[1])),
+                        jnp.int32)
+    ref = _reference(h, w, targets)  # jnp CE broadcasts (1,t) over (B,t,V)
+    got = fused_head_xent(h, w, targets, block_rows=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
