@@ -139,6 +139,65 @@ def _decode_latency_bench(log, time_fn):
         f"{dt * 1e3:.0f} ms total, {dt / n_steps * 1e3:.3f} ms/step")
 
 
+def _muse_train_step_bench(log, time_fn):
+    """Muse token-path training step (loss_from_indices: text encode +
+    decoder fwd + fused head+CE + full backward + adam) at the decode
+    bench's model scale. Timed with the element-fetch sync — the earlier
+    ad-hoc numbers used block_until_ready, which no-ops on the tunneled
+    platform (docs/ROADMAP.md, Muse train row)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from attention_models_tpu.models.muse import MUSE
+    from attention_models_tpu.models.text_encoder import tokenize
+
+    vq_cfg = dict(
+        vit_params=dict(dim=512, img_size=256, patch_size=8, n_heads=8,
+                        d_head=64, depth=6, mlp_dim=2048, dropout=0.0),
+        codebook_params=dict(codebook_size=8192, codebook_dim=32),
+    )
+    bs = 8
+    muse = MUSE(dim=768, vq_config=vq_cfg, n_heads=12, d_head=64, depth=16,
+                mult=8, dropout=0.0, dtype=jnp.bfloat16)
+    ids = jnp.array(tokenize(["a stop sign"] * bs))
+    indices = jax.random.randint(jax.random.key(3), (bs, 1024), 0, 8192,
+                                 jnp.int32)
+    params = _synth_params(
+        muse,
+        functools.partial(muse.init, method=MUSE.init_all),
+        jax.random.key(0), ids, jnp.zeros((1, 3, 256, 256), jnp.bfloat16),
+        jax.random.key(1),
+    )["params"]
+    # frozen towers get zero-update (and zero adam-moment memory), like the
+    # real generator trainers (training/optim.py frozen_subtrees)
+    labels = {
+        k: jax.tree.map(
+            lambda _: "z" if k in ("vq", "text_encoder") else "t", v
+        )
+        for k, v in params.items()
+    }
+    tx = optax.multi_transform(
+        {"t": optax.adam(1e-4), "z": optax.set_to_zero()}, labels
+    )
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, ids, indices, rng):
+        def loss_fn(p):
+            return muse.apply({"params": p}, ids, indices, rng,
+                              method=MUSE.loss_from_indices)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), opt, loss
+
+    dt = time_fn(step, params, opt, ids, indices, jax.random.key(4), iters=10)
+    log(f"muse train step (token path) bs={bs}: {dt * 1e3:.1f} ms "
+        f"({bs / dt:.1f} samples/s)")
+
+
 def _train_step_bench(log, time_fn, model, params):
     """ViTVQGAN GAN training throughput (the reference's main workload,
     SURVEY.md §3.1): D phase (hinge + WGAN-GP) + G phase (codebook + adv +
@@ -337,6 +396,14 @@ def main():
         _train_step_bench(log, time_fn, model, params)
     except Exception as e:
         log(f"train step bench failed: {type(e).__name__}: {e}")
+
+    try:
+        # free the recon/encode buffers first — the training step's adam
+        # moments + activations need the HBM headroom
+        del params, recon
+        _muse_train_step_bench(log, time_fn)
+    except Exception as e:
+        log(f"muse train step bench failed: {type(e).__name__}: {e}")
 
     print(json.dumps({
         "metric": "vitvqgan_256px_recon_throughput",
