@@ -78,3 +78,42 @@ def test_codebook_indices_invariant_to_sharding():
     imgs_sh = jax.device_put(imgs, batch_sharding(mesh))
     got = enc(variables, imgs_sh)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fsdp_composes_with_tensor_parallel():
+    """FSDP over `data` stacks on the TP rules: a rule-sharded kernel (e.g.
+    wq split over `model`) additionally shards a rule-unsharded dim over
+    `data`, outputs stay exact, and every large leaf splits 1/(dp*tp)."""
+    model = ViTMoE(dim=128, image_size=32, patch_size=8, n_heads=2, d_head=64,
+                   depth=2, n_experts=4, sel_experts=2, num_classes=10,
+                   moe_impl="dense")
+    imgs = jnp.array(np.random.RandomState(0).rand(8, 3, 32, 32), jnp.float32)
+    variables = model.init(jax.random.key(0), imgs)
+    ref = jax.jit(model.apply)(variables, imgs)
+
+    mesh = create_mesh(data=4, model=2)
+    sh = param_shardings(variables["params"], mesh,
+                         fsdp_axis="data", fsdp_min_size=1024)
+    paths = {str(p): s for p, s in
+             jax.tree_util.tree_flatten_with_path(sh)[0]}
+    leaves = {str(p): l for p, l in
+              jax.tree_util.tree_flatten_with_path(variables["params"])[0]}
+    both = [  # leaves carrying model AND data in one spec
+        p for p, s in paths.items()
+        if "model" in tuple(s.spec) and "data" in tuple(s.spec)
+    ]
+    assert both, f"no leaf sharded over both axes: " \
+        f"{[(p, s.spec) for p, s in list(paths.items())[:8]]}"
+    for p in both:
+        assert leaves[p].size >= 1024
+
+    params_sh = shard_pytree(variables["params"], sh)
+    for p in both:
+        leaf = {str(q): l for q, l in
+                jax.tree_util.tree_flatten_with_path(params_sh)[0]}[p]
+        assert leaf.addressable_shards[0].data.size == leaf.size // 8, p
+
+    imgs_sh = jax.device_put(imgs, batch_sharding(mesh))
+    out = jax.jit(model.apply)({"params": params_sh}, imgs_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=1e-4)
