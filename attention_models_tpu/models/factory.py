@@ -181,6 +181,7 @@ def build_model(cfg):
             scan_layers=bool(cfg.training.get("scan_layers", False)),
             pp_microbatches=cfg.training.get("pipeline_microbatches"),
             quant=cfg.model.get("quant"),
+            cond_keep_prob=float(cfg.model.get("cond_keep_prob", 1.0)),
             dtype=dtype,
         ), patches
 

@@ -111,6 +111,11 @@ class Parti(nn.Module):
     scan_layers: bool = False
     pp_microbatches: int | None = None
     quant: str | None = None  # "int8": W8A8 decode (inference-only opt-in)
+    # CFG conditioning dropout (keep-prob, MUSE semantics — muse.py:169-170).
+    # The reference's Parti has no CFG at all (its TODO at parti.py:47);
+    # 1.0 keeps training reference-exact, < 1.0 trains the null-context
+    # stream that generate(guidance_scale>0) interpolates against.
+    cond_keep_prob: float = 1.0
 
     def setup(self):
         self.vq = build_vq(self.vq_config, dtype=self.dtype)
@@ -174,6 +179,14 @@ class Parti(nn.Module):
         the image encoder, for token-cached training."""
         text_embeds = jax.lax.stop_gradient(self.text_encoder(text_ids))
         text_embeds = self.context_norm(text_embeds)
+        if self.cond_keep_prob < 1.0 and not deterministic:
+            keep = (
+                jax.random.uniform(
+                    self.make_rng("dropout"), (text_embeds.shape[0], 1, 1)
+                )
+                < self.cond_keep_prob
+            )
+            text_embeds = text_embeds * keep.astype(text_embeds.dtype)
 
         dec_in = self._embed_prefix(labels[:, :-1], deterministic=deterministic)
         dec_in = self.init_norm(dec_in)
@@ -225,9 +238,11 @@ _RUN_CACHE: "OrderedDict" = OrderedDict()
 _RUN_CACHE_MAX = 16
 
 
-def _parti_run(model: Parti, filter_p: float, approx_topk: bool):
+def _parti_run(model: Parti, filter_p: float, approx_topk: bool,
+               guidance_scale: float = 0.0):
     try:
-        key = (id(model), float(filter_p), bool(approx_topk))
+        key = (id(model), float(filter_p), bool(approx_topk),
+               float(guidance_scale))
     except (TypeError, jax.errors.ConcretizationTypeError):
         # filter_p/approx_topk is a tracer (parti_generate called under an
         # outer jit with traced knobs): skip the cache, close over the
@@ -240,11 +255,21 @@ def _parti_run(model: Parti, filter_p: float, approx_topk: bool):
 
     n = vq_num_patches(model.vq_config)
 
+    # guidance_scale > 0: classifier-free guidance over two decoder streams
+    # folded into one 2b batch (the MUSE one-forward trick, muse.py CFG rule
+    # `null + g*(cond - null)` replacing the reference's TODO at
+    # /root/reference/models/parti.py:47). Both streams consume the SAME
+    # sampled token each step, so only the contexts differ (real vs zeroed).
+    cfg_on = bool(guidance_scale)
+
     @jax.jit
     def run(variables, text_ids, rng):
         b = text_ids.shape[0]
         ctx = model.apply(variables, text_ids, method=Parti.prepare_context)
-        tok0 = model.apply(variables, b, method=Parti.start_embed)
+        if cfg_on:
+            ctx = jnp.concatenate([ctx, jnp.zeros_like(ctx)], axis=0)
+        sb = 2 * b if cfg_on else b  # stream batch
+        tok0 = model.apply(variables, sb, method=Parti.start_embed)
         # materialize a fresh zeroed cache (cache_index = 0)
         _, vars0 = model.apply(
             variables, tok0, ctx, method=Parti.decode_step, mutable=["cache"]
@@ -264,15 +289,20 @@ def _parti_run(model: Parti, filter_p: float, approx_topk: bool):
                 {**variables, "cache": cache}, tok, ctx,
                 method=Parti.decode_step, mutable=["cache"],
             )
+            last = logits[:, -1, :]
+            if cfg_on:
+                cond, null = last[:b], last[b:]
+                last = null + guidance_scale * (cond - null)
             nxt = gumbel_argmax(
                 rngs[i],
-                filter_logits(logits[:, -1, :], filter_p, approx=approx_topk),
+                filter_logits(last, filter_p, approx=approx_topk),
                 1.0,
             )  # (b,)
             indices = jax.lax.dynamic_update_slice(indices, nxt[:, None], (0, i))
             emb = model.apply(variables, nxt[:, None],
                               method=lambda m, ix: m.token_emb(ix))
-            tok = emb + pe[i][None, None, :].astype(emb.dtype)
+            emb = emb + pe[i][None, None, :].astype(emb.dtype)
+            tok = jnp.concatenate([emb, emb], axis=0) if cfg_on else emb
             return indices, tok, upd["cache"]
 
         indices, _, _ = jax.lax.fori_loop(0, n, body, (indices0, tok0, cache))
@@ -292,8 +322,18 @@ def parti_generate(
     rng: jax.Array,
     filter_p: float = 0.9,
     approx_topk: bool = True,
+    guidance_scale: float = 0.0,
 ) -> jnp.ndarray:
     """AR generation with a KV cache: one jitted lax.fori_loop over
     num_patches single-token decoder steps, then VQ decode. The jitted
-    program is cached per (model, knobs) so repeated calls don't re-trace."""
-    return _parti_run(model, filter_p, approx_topk)(variables, text_ids, rng)
+    program is cached per (model, knobs) so repeated calls don't re-trace.
+
+    ``guidance_scale > 0`` enables classifier-free guidance — conditional and
+    null-context streams folded into one 2b batch, logits mixed per step as
+    ``null + g*(cond - null)`` (MUSE's rule; the reference's Parti never
+    implemented its CFG TODO, /root/reference/models/parti.py:47). Train with
+    ``cond_keep_prob < 1`` so the null stream is meaningful; ``g = 1`` is
+    exactly the conditional stream (reduces to the unguided decode)."""
+    return _parti_run(model, filter_p, approx_topk, guidance_scale)(
+        variables, text_ids, rng
+    )

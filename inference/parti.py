@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--resolution", type=int, default=256)
     ap.add_argument("--dim", type=int, default=512)
     ap.add_argument("--depth", type=int, default=6)
+    ap.add_argument("--guidance-scale", type=float, default=0.0,
+                    help="classifier-free guidance (0 = off; needs a model "
+                         "trained with model.cond_keep_prob < 1)")
     ap.add_argument("--quant", choices=["int8"], default=None,
                     help="W8A8 int8 decode (TPU serving fast path)")
     args = ap.parse_args()
@@ -65,7 +68,8 @@ def main():
         if vq is not None:
             variables = apply_param_patches(variables, {"vq": vq})
 
-    imgs = parti_generate(model, variables, ids, jax.random.key(2))
+    imgs = parti_generate(model, variables, ids, jax.random.key(2),
+                          guidance_scale=args.guidance_scale)
     from PIL import Image
 
     arr = (np.clip(np.asarray(imgs, np.float32)[0], 0, 1) * 255).astype(
