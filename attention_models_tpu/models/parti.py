@@ -260,7 +260,16 @@ def _parti_run(model: Parti, filter_p: float, approx_topk: bool,
     # `null + g*(cond - null)` replacing the reference's TODO at
     # /root/reference/models/parti.py:47). Both streams consume the SAME
     # sampled token each step, so only the contexts differ (real vs zeroed).
-    cfg_on = bool(guidance_scale)
+    try:
+        cfg_on = bool(guidance_scale)
+    except jax.errors.TracerBoolConversionError as e:
+        raise ValueError(
+            "guidance_scale must be a static Python number: it selects "
+            "between the single-stream and the 2b-batch CFG decode programs "
+            "(a traced value cannot change the program structure). Call "
+            "parti_generate with a concrete float, outside jit or as a "
+            "static argument."
+        ) from e
 
     @jax.jit
     def run(variables, text_ids, rng):

@@ -22,7 +22,7 @@ from typing import Any, Sequence
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from attention_models_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, STAGE_AXIS
+from attention_models_tpu.parallel.mesh import MODEL_AXIS, STAGE_AXIS
 
 # (path regex, PartitionSpec). First match wins; no match -> replicated.
 # Paths look like "encoder/layers_0/self_attn/wq/kernel".
@@ -80,7 +80,9 @@ def param_shardings(
         """Shard the largest rule-unsharded, divisible dim over fsdp_axis."""
         # non-array leaves (the int step counter, empty optax states) stay
         # replicated — they have no shape to split
-        if n_fsdp <= 1 or getattr(leaf, "size", 0) < fsdp_min_size:
+        if n_fsdp <= 1 or not hasattr(leaf, "ndim"):
+            return spec
+        if leaf.size < fsdp_min_size:
             return spec
         dims = list(spec) + [None] * (leaf.ndim - len(spec))
         best = -1

@@ -303,9 +303,8 @@ class BaseTrainer:
         from attention_models_tpu.parallel import param_shardings, shard_pytree
         from attention_models_tpu.parallel.mesh import DATA_AXIS
 
-        min_size = int(
-            self.cfg.training.get("fsdp_min_size", 1 << 16) or 1 << 16
-        )
+        min_size = self.cfg.training.get("fsdp_min_size")
+        min_size = 1 << 16 if min_size is None else int(min_size)
         shardings = param_shardings(
             state, self.mesh,
             fsdp_axis=DATA_AXIS if self.fsdp else None,

@@ -51,6 +51,38 @@ def _synth_params(model, init_fn, *init_args):
     )
 
 
+# the decode-bench model scale (reference inference configs — muse: dim 768
+# depth 16 heads 12 mult 8; vq: dim 512 depth 6). Shared by the decode and
+# train-step benches so both measure the SAME model.
+_BENCH_VQ_CFG = dict(
+    vit_params=dict(dim=512, img_size=256, patch_size=8, n_heads=8,
+                    d_head=64, depth=6, mlp_dim=2048, dropout=0.0),
+    codebook_params=dict(codebook_size=8192, codebook_dim=32),
+)
+
+
+def _bench_muse(batch: int):
+    """Build the bench-scale MUSE + synthetic params + tokenized prompts."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from attention_models_tpu.models.muse import MUSE
+    from attention_models_tpu.models.text_encoder import tokenize
+
+    muse = MUSE(dim=768, vq_config=_BENCH_VQ_CFG, n_heads=12, d_head=64,
+                depth=16, mult=8, dropout=0.0, dtype=jnp.bfloat16)
+    ids = jnp.array(tokenize(["a stop sign"] * batch))
+    params = _synth_params(
+        muse,
+        functools.partial(muse.init, method=MUSE.init_all),
+        jax.random.key(0), ids, jnp.zeros((1, 3, 256, 256), jnp.bfloat16),
+        jax.random.key(1),
+    )
+    return muse, ids, params
+
+
 def _decode_latency_bench(log, time_fn):
     """MaskGIT / Muse iterative decode at the reference inference configs
     (maskgit: dim 512 depth 6; muse: dim 768 depth 16 heads 12 mult 8 —
@@ -63,13 +95,8 @@ def _decode_latency_bench(log, time_fn):
 
     from attention_models_tpu.models.maskgit import MaskGitTransformer
     from attention_models_tpu.models.muse import MUSE
-    from attention_models_tpu.models.text_encoder import tokenize
 
-    vq_cfg = dict(
-        vit_params=dict(dim=512, img_size=256, patch_size=8, n_heads=8,
-                        d_head=64, depth=6, mlp_dim=2048, dropout=0.0),
-        codebook_params=dict(codebook_size=8192, codebook_dim=32),
-    )
+    vq_cfg = _BENCH_VQ_CFG
     timesteps = 18
     batch = 8
 
@@ -91,15 +118,7 @@ def _decode_latency_bench(log, time_fn):
     log(f"maskgit generate b={batch} t={timesteps}: {dt * 1e3:.1f} ms total, "
         f"{dt / timesteps * 1e3:.2f} ms/step")
 
-    muse = MUSE(dim=768, vq_config=vq_cfg, n_heads=12, d_head=64, depth=16,
-                mult=8, dropout=0.0, dtype=jnp.bfloat16)
-    ids = jnp.array(tokenize(["a stop sign"] * batch))
-    muse_params = _synth_params(
-        muse,
-        functools.partial(muse.init, method=MUSE.init_all),
-        jax.random.key(0), ids, jnp.zeros((1, 3, 256, 256), jnp.bfloat16),
-        jax.random.key(1),
-    )
+    muse, ids, muse_params = _bench_muse(batch)
     mgen = jax.jit(functools.partial(muse.apply, timesteps=timesteps,
                                      approx_topk=True,
                                      method=MUSE.generate))
@@ -145,32 +164,17 @@ def _muse_train_step_bench(log, time_fn):
     bench's model scale. Timed with the element-fetch sync — the earlier
     ad-hoc numbers used block_until_ready, which no-ops on the tunneled
     platform (docs/ROADMAP.md, Muse train row)."""
-    import functools
-
     import jax
     import jax.numpy as jnp
     import optax
 
     from attention_models_tpu.models.muse import MUSE
-    from attention_models_tpu.models.text_encoder import tokenize
 
-    vq_cfg = dict(
-        vit_params=dict(dim=512, img_size=256, patch_size=8, n_heads=8,
-                        d_head=64, depth=6, mlp_dim=2048, dropout=0.0),
-        codebook_params=dict(codebook_size=8192, codebook_dim=32),
-    )
     bs = 8
-    muse = MUSE(dim=768, vq_config=vq_cfg, n_heads=12, d_head=64, depth=16,
-                mult=8, dropout=0.0, dtype=jnp.bfloat16)
-    ids = jnp.array(tokenize(["a stop sign"] * bs))
+    muse, ids, variables = _bench_muse(bs)
+    params = variables["params"]
     indices = jax.random.randint(jax.random.key(3), (bs, 1024), 0, 8192,
                                  jnp.int32)
-    params = _synth_params(
-        muse,
-        functools.partial(muse.init, method=MUSE.init_all),
-        jax.random.key(0), ids, jnp.zeros((1, 3, 256, 256), jnp.bfloat16),
-        jax.random.key(1),
-    )["params"]
     # frozen towers get zero-update (and zero adam-moment memory), like the
     # real generator trainers (training/optim.py frozen_subtrees)
     labels = {
