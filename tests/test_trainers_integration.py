@@ -635,3 +635,53 @@ def test_logged_lr_tracks_optimizer_steps(tmp_path):
     for l in logs:
         expect = float(trainer.schedule(l["step"] // 2))
         assert abs(l["lr"] - expect) < 1e-9, (l["step"], l["lr"], expect)
+
+
+def test_trainer_fsdp_checkpoint_resume(tmp_path):
+    """FSDP-sharded states must round-trip through orbax: save from a
+    data-axis-sharded train state, resume into a fresh trainer bit-exactly,
+    with the restored state re-placed on the mesh (sharded, not replicated)."""
+    import numpy as np
+
+    fsdp_over = {"experiment.save_every": 2,
+                 "training.num_epochs": 2,
+                 "training.fsdp": True,
+                 "training.fsdp_min_size": 1024}
+    trainer, cfg = _run("vit_overfit.yaml", tmp_path, **fsdp_over)
+    trainer.save_ckpt(trainer.state)
+    saved_step = trainer.ckpt.latest_step()
+    snapshot = jax.tree.map(np.asarray, trainer.state["params"])
+
+    cfg2 = load_config(os.path.join(CFG_DIR, "vit_overfit.yaml"))
+    for k, v in fsdp_over.items():
+        cfg2.set_path(k, v)
+    cfg2.set_path("experiment.auto_resume", True)
+    cfg2.set_path("training.num_epochs", 3)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        model, patches = build_model(cfg2)
+        loaders = build_loader(cfg2)
+        trainer2 = build_trainer(cfg2, model, loaders,
+                                 pretrained_patches=patches)
+        assert trainer2.global_step == saved_step
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+            trainer2.state["params"], snapshot,
+        )
+        # restored state is re-placed: some kernel is sharded over `data`
+        dp = trainer2.mesh.shape["data"]
+        assert dp > 1
+        sharded = [
+            l for p, l in
+            jax.tree_util.tree_flatten_with_path(trainer2.state["params"])[0]
+            if "kernel" in str(p) and l.size >= 1024
+            and "data" in tuple(l.sharding.spec)
+        ]
+        assert sharded, "restored params lost their FSDP placement"
+        for leaf in sharded:
+            assert leaf.addressable_shards[0].data.size == leaf.size // dp
+        trainer2.train()
+        assert trainer2.global_step > saved_step
+    finally:
+        os.chdir(cwd)
