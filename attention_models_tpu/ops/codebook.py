@@ -147,8 +147,10 @@ def nearest_codes(
         z = z.astype(dot_dtype)
         codes = codes.astype(dot_dtype)
     if use_pallas is None:
+        from attention_models_tpu.ops.dispatch import on_tpu
+
         use_pallas = (
-            jax.default_backend() in ("tpu", "axon")
+            on_tpu()
             and n % min(block_n, n) == 0
             and codes.shape[0] % min(block_codes, codes.shape[0]) == 0
         )

@@ -313,14 +313,10 @@ def fused_ffn(
 def ffn_supported(shape: tuple, d: int, inner: int,
                   platform: str | None = None) -> bool:
     """Fused path gate: TPU backend, lane-aligned dims, row count tiles."""
-    if platform is None:
-        platform = jax.default_backend()
-    if platform not in ("tpu", "axon"):
-        return False
-    n = 1
-    for s in shape[:-1]:
-        n *= s
-    return d % 128 == 0 and inner % 128 == 0 and n % 8 == 0 and n >= 8
+    from attention_models_tpu.ops.dispatch import on_tpu, rows_lane_tileable
+
+    return (on_tpu(platform) and inner % 128 == 0
+            and rows_lane_tileable(shape, d))
 
 
 # --------------------------------------------------------------------------- #
@@ -530,14 +526,9 @@ def fused_mlp(
 def mlp_supported(shape: tuple, d: int, platform: str | None = None) -> bool:
     """bf16 TPU fast path only (fp32 keeps the exact unfused formulation);
     hidden width may be lane-unaligned (full-dim blocks pad internally)."""
-    if platform is None:
-        platform = jax.default_backend()
-    if platform not in ("tpu", "axon"):
-        return False
-    n = 1
-    for s in shape[:-1]:
-        n *= s
-    return d % 128 == 0 and n % 8 == 0 and n >= 8
+    from attention_models_tpu.ops.dispatch import on_tpu, rows_lane_tileable
+
+    return on_tpu(platform) and rows_lane_tileable(shape, d)
 
 
 # --------------------------------------------------------------------------- #

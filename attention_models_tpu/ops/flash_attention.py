@@ -907,9 +907,9 @@ def flash_supported(
     block budget in both the forward (full k/v resident) and backward (full
     q/do resident in the dkv program) role assignments. Any of these failing
     would raise at trace time instead of falling back to the XLA path."""
-    if platform is None:
-        platform = jax.default_backend()
-    if platform not in ("tpu", "axon"):
+    from attention_models_tpu.ops.dispatch import on_tpu
+
+    if not on_tpu(platform):
         return False
     b, h, tq, d = q_shape
     tk = k_shape[2]
@@ -979,7 +979,7 @@ def flash_attention_sharded(
 def _flash_forward_bthd(
     q, k, v, *, scale, causal, block_q, block_k, interpret=False,
 ):
-    """q, k, v: (b, t, h, d). Returns (out (b,tq,h,d), lse (b,tq,h,1) f32).
+    """q, k, v: (b, t, h, d). Returns (out (b,tq,h,d), lse (b,tq,h) f32).
     Blocks span ALL heads (TPU tiling runs over the trailing (h, d) dims, so
     per-head HBM blocks are illegal); the kernel peels heads in VMEM. The
     per-head softmax transients bound VMEM, so block_q is capped to keep
@@ -1069,9 +1069,7 @@ def _flash_backward_bthd(
                             q.dtype.itemsize)
     bk, _ = _mh_pick_blocks(tk, tq, h, d, block_k, block_q,
                             q.dtype.itemsize)
-    delta = jnp.sum(
-        g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
-    )  # (b, tq, h)
+    delta = flash_delta(o, g)  # (b, tq, h)
 
     qf = q.reshape(b, tq, h * d)
     kf = k.reshape(b, tk, h * d)
@@ -1226,9 +1224,7 @@ def _flash_backward_bthd_kv(
                             q.dtype.itemsize)
     bk, _ = _mh_pick_blocks(tk, tq, h, d, block_k, block_q,
                             q.dtype.itemsize)
-    delta = jnp.sum(
-        g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
-    )  # (b, tq, h)
+    delta = flash_delta(o, g)  # (b, tq, h)
     qf = q.reshape(b, tq, h * d)
     kvf = kv.reshape(b, tk, 2 * h * d)
     gf = g.reshape(b, tq, h * d)

@@ -49,14 +49,17 @@ def fused_layernorm(
     d = orig_shape[-1]
     xf = x.reshape(-1, d)
     n = xf.shape[0]
+    from attention_models_tpu.ops.ffn import pick_block_rows
+
     # VMEM budget: f32 working copy + in/out blocks must stay well under the
     # ~16MB scoped limit -> cap rows so br*d(f32) stays ~2MB
     budget = max(8, (512 * 1024) // d // 8 * 8)  # round down to sublanes
-    br = min(block_rows, budget, n)
-    while n % br and br > 8:
-        br -= 8 if br % 8 == 0 else br % 8
-    if br < 8 or n % br or d % 128:
+    if d % 128:
         raise ValueError(f"unsupported LN shape {orig_shape}")
+    try:
+        br = pick_block_rows(n, min(block_rows, budget))
+    except ValueError as e:
+        raise ValueError(f"unsupported LN shape {orig_shape}") from e
 
     gamma2 = gamma.reshape(1, d)
     args = [xf, gamma2]
@@ -151,12 +154,6 @@ def layernorm(
 
 
 def layernorm_supported(shape: tuple, platform: str | None = None) -> bool:
-    if platform is None:
-        platform = jax.default_backend()
-    if platform not in ("tpu", "axon"):
-        return False
-    d = shape[-1]
-    n = 1
-    for s in shape[:-1]:
-        n *= s
-    return d % 128 == 0 and n % 8 == 0 and n >= 8
+    from attention_models_tpu.ops.dispatch import on_tpu, rows_lane_tileable
+
+    return on_tpu(platform) and rows_lane_tileable(shape, shape[-1])

@@ -213,14 +213,11 @@ def _seed_words(rng) -> jnp.ndarray:
     return words.reshape(1, 2)
 
 
-def sample_epilogue_supported(shape) -> bool:
+def sample_epilogue_supported(shape, platform: str | None = None) -> bool:
     """(..., C) logits: rows must sublane-tile and C must lane-tile."""
-    rows = math.prod(shape[:-1])
-    return (
-        jax.default_backend() in ("tpu", "axon")
-        and rows % 8 == 0
-        and shape[-1] % 128 == 0
-    )
+    from attention_models_tpu.ops.dispatch import on_tpu, rows_lane_tileable
+
+    return on_tpu(platform) and rows_lane_tileable(shape, shape[-1])
 
 
 def sample_epilogue_fused(
@@ -315,8 +312,9 @@ def random_mask(
     mask_prob = jnp.clip(cosine_schedule(timesteps), 0.0, None)
     num_masked = jnp.clip(jnp.round(seq_len * mask_prob), 1, None)  # (b,)
     rand = jax.random.uniform(perm_key, (batch, seq_len))
-    ranks = jnp.argsort(jnp.argsort(rand, axis=-1), axis=-1)  # rank of each pos
-    return ranks < num_masked[:, None]
+    # rank of each position via one sort + iota scatter (same trick as
+    # lowest_score_mask below — saves the second full sort per train step)
+    return lowest_score_mask(rand, num_masked[:, None])
 
 
 def mask_fill_inputs_and_targets(

@@ -243,11 +243,7 @@ def fused_head_xent(
 def head_xent_supported(shape: tuple, d: int, vocab: int,
                         platform: str | None = None) -> bool:
     """Fused path gate: TPU backend, lane-aligned dims, row count tiles."""
-    if platform is None:
-        platform = jax.default_backend()
-    if platform not in ("tpu", "axon"):
-        return False
-    n = 1
-    for s in shape[:-1]:
-        n *= s
-    return d % 128 == 0 and vocab % 128 == 0 and n % 8 == 0 and n >= 8
+    from attention_models_tpu.ops.dispatch import on_tpu, rows_lane_tileable
+
+    return (on_tpu(platform) and vocab % 128 == 0
+            and rows_lane_tileable(shape, d))
