@@ -303,6 +303,22 @@ def _probe_devices(timeout_s: int = 240) -> str | None:
 
 
 def main():
+    # Soft wall-clock budget for the post-headline diagnostics (the
+    # headline JSON prints right after the recon sweep, so a driver-side
+    # kill can't lose it — but skipping cleanly beats dying mid-compile).
+    import os
+
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1200))
+
+    def over_budget(section: str) -> bool:
+        elapsed = time.perf_counter() - t_start
+        if elapsed > budget_s:
+            log(f"skipping {section}: {elapsed:.0f}s elapsed > "
+                f"BENCH_BUDGET_S={budget_s:.0f}s")
+            return True
+        return False
+
     err = _probe_devices()
     if err:
         log(f"DEVICE PROBE FAILED: {err}")
@@ -356,11 +372,24 @@ def main():
             log(f"recon bs={bs}: failed ({type(e).__name__})")
             break
 
+    # Headline line FIRST (stdout, flushed): everything after this point is
+    # stderr diagnostics, so a driver-side timeout mid-diagnostics can no
+    # longer lose the metric.
+    print(json.dumps({
+        "metric": "vitvqgan_256px_recon_throughput",
+        "value": round(best, 1),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(best / 250.0, 3),
+        "batch_size": best_bs,
+    }), flush=True)
+
     # W8A8 int8 recon (opt-in serving path, ops/quant.py): same weights,
     # quantized twin of the fused block kernels. Headline stays bf16.
     # Skipped when no bf16 recon batch succeeded (best_bs=0 would time an
     # empty batch and log a meaningless throughput row).
     try:
+        if over_budget("int8 recon"):
+            raise RuntimeError("time budget exhausted")
         if not best_bs:
             raise RuntimeError("no successful bf16 recon batch to mirror")
         model_q = vitvqgan_base(img_size=256, dtype=jnp.bfloat16,
@@ -377,6 +406,8 @@ def main():
 
     # ---- extra diagnostics: tokenizer encode + generator decode latency ----- #
     try:
+        if over_budget("encode bench"):
+            raise RuntimeError("time budget exhausted")
         if not best_bs:
             raise RuntimeError("no successful recon batch to size encode")
         encode = jax.jit(
@@ -392,12 +423,14 @@ def main():
         log(f"encode bench failed: {e}")
 
     try:
-        _decode_latency_bench(log, time_fn)
+        if not over_budget("decode latency bench"):
+            _decode_latency_bench(log, time_fn)
     except Exception as e:
         log(f"decode latency bench failed: {type(e).__name__}: {e}")
 
     try:
-        _train_step_bench(log, time_fn, model, params)
+        if not over_budget("GAN train step bench"):
+            _train_step_bench(log, time_fn, model, params)
     except Exception as e:
         log(f"train step bench failed: {type(e).__name__}: {e}")
 
@@ -405,17 +438,10 @@ def main():
         # free the recon/encode buffers first — the training step's adam
         # moments + activations need the HBM headroom
         del params, recon
-        _muse_train_step_bench(log, time_fn)
+        if not over_budget("muse train step bench"):
+            _muse_train_step_bench(log, time_fn)
     except Exception as e:
         log(f"muse train step bench failed: {type(e).__name__}: {e}")
-
-    print(json.dumps({
-        "metric": "vitvqgan_256px_recon_throughput",
-        "value": round(best, 1),
-        "unit": "imgs/sec/chip",
-        "vs_baseline": round(best / 250.0, 3),
-        "batch_size": best_bs,
-    }))
 
 
 if __name__ == "__main__":
