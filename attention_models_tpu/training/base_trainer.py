@@ -322,6 +322,46 @@ class BaseTrainer:
         save_image_grid(images, path, nrow=nrow)
         self.metrics.log_image(name, make_grid(images, nrow), self.global_step)
 
+    def eval_params(self, key: str = "params"):
+        """Weights for sampling/eval: the EMA-averaged trainable subtrees
+        overlay the live params when ``training.ema_decay`` is set (the
+        published MaskGIT/Muse recipes evaluate EMA weights; the reference
+        trainers have no equivalent). Training always uses the live params."""
+        ema = self.state.get("ema")
+        params = self.state[key]
+        return {**params, **ema} if ema else params
+
+    def ema_init(self, params: dict, exclude: tuple = ()) -> None:
+        """training.ema_decay: install an exponential-moving-average copy of
+        the trainable top-level param subtrees into ``self.state["ema"]``.
+        Call after building self.state, BEFORE maybe_resume/place_state so
+        the EMA is checkpointed, restored, and mesh-placed with everything
+        else (sharding rules match by path suffix, so each EMA leaf gets its
+        params twin's placement). ``exclude`` lists frozen towers — they
+        never move, so averaging them would only duplicate memory. Leaves
+        are copied so state donation never sees aliased buffers."""
+        import jax.numpy as jnp
+
+        self.ema_decay = float(self.cfg.training.get("ema_decay", 0) or 0)
+        if not 0.0 <= self.ema_decay < 1.0:
+            raise ValueError(
+                f"training.ema_decay must be in [0, 1), got {self.ema_decay}"
+            )
+        if self.ema_decay:
+            self.state["ema"] = jax.tree.map(
+                jnp.copy,
+                {k: v for k, v in params.items() if k not in exclude},
+            )
+
+    def ema_update(self, state: dict, params: dict):
+        """Jit-safe one-step EMA: ema <- d*ema + (1-d)*params over the
+        subtrees tracked in state["ema"] (params just updated this step)."""
+        d = self.ema_decay
+        return jax.tree.map(
+            lambda e, p: d * e + (1.0 - d) * p,
+            state["ema"], {k: params[k] for k in state["ema"]},
+        )
+
     @property
     def replicated(self):
         """Replicated sharding (for scalar metrics step outputs)."""

@@ -61,6 +61,9 @@ class _GeneratorTrainer(BaseTrainer):
             "params": variables["params"],
             "opt": self.tx.init(variables["params"]),
         }
+        # training.ema_decay: EMA of the trainable subtrees, updated inside
+        # the jitted step and used by every sampling/eval path (eval_params)
+        self.ema_init(variables["params"], exclude=self.frozen_subtrees)
         self.state = self.maybe_resume(self.state)
         self.state, self.state_shardings = self.place_state(self.state)
         self._build_steps()
@@ -80,12 +83,11 @@ class _GeneratorTrainer(BaseTrainer):
                 lambda p: loss_of(p, *batch_and_rng)
             )(state["params"])
             updates, opt = self.tx.update(grads, state["opt"], state["params"])
-            return (
-                {"step": state["step"] + 1,
-                 "params": optax.apply_updates(state["params"], updates),
-                 "opt": opt},
-                {"loss": loss},
-            )
+            params = optax.apply_updates(state["params"], updates)
+            out = {"step": state["step"] + 1, "params": params, "opt": opt}
+            if "ema" in state:
+                out["ema"] = self.ema_update(state, params)
+            return out, {"loss": loss}
 
         return step
 
@@ -320,7 +322,7 @@ class MaskGitTrainer(_GeneratorTrainer):
                 break
             img_p, n = self.pad_batch(img)
             rec = self._recon_step(
-                self.state["params"], self.shard_batch(img_p), self.rng()
+                self.eval_params(), self.shard_batch(img_p), self.rng()
             )
             self.log_image_grid(
                 np.asarray(rec, np.float32)[:n],
@@ -401,7 +403,7 @@ class MuseTrainer(_GeneratorTrainer):
             batch = batch + [""] * (chunk - len(batch))  # static shape
             ids = jnp.array(tokenize(batch, self.max_length))
             outs.append(np.asarray(
-                self._generate_step(self.state["params"], ids, self.rng()),
+                self._generate_step(self.eval_params(), ids, self.rng()),
                 np.float32,
             ))
         imgs = np.concatenate(outs)[: len(prompts)]
@@ -415,7 +417,7 @@ class MuseTrainer(_GeneratorTrainer):
             if i > 3:
                 break
             ids, n = self.pad_batch(tokenize(list(texts), self.max_length))
-            imgs = self._generate_step(self.state["params"], jnp.array(ids),
+            imgs = self._generate_step(self.eval_params(), jnp.array(ids),
                                        self.rng())
             self.log_image_grid(
                 np.asarray(imgs, np.float32)[:n],
@@ -479,7 +481,7 @@ class PartiTrainer(_GeneratorTrainer):
             if i > 0:
                 break
             ids, n = self.pad_batch(tokenize(list(texts), self.max_length))
-            imgs = parti_generate(self.model, {"params": self.state["params"]},
+            imgs = parti_generate(self.model, {"params": self.eval_params()},
                                   jnp.array(ids), self.rng())
             self.log_image_grid(
                 np.asarray(imgs, np.float32)[:n],

@@ -20,10 +20,17 @@ import optax
 
 
 def constant_with_warmup(base_lr: float, warmup_steps: int):
+    """HF get_constant_schedule_with_warmup semantics: ``step/warmup`` while
+    ``step < warmup``, else 1 — so warmup_steps=0 is full lr from step 0
+    (HF's `step < num_warmup_steps` branch is immediately false), not a
+    zero-lr first step."""
+
     def fn(step):
         import jax.numpy as jnp
 
-        warm = jnp.minimum(step / max(warmup_steps, 1), 1.0)
+        warm = jnp.where(
+            step < warmup_steps, step / max(warmup_steps, 1), 1.0
+        )
         return base_lr * warm
 
     return fn

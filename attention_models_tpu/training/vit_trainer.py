@@ -42,6 +42,8 @@ class VitTrainer(BaseTrainer):
             "params": variables["params"],
             "opt": self.tx.init(variables["params"]),
         }
+        # training.ema_decay: EMA weights, used by evaluate()
+        self.ema_init(variables["params"])
         self.state = self.maybe_resume(self.state)
         self.state, state_sh = self.place_state(self.state)
 
@@ -67,12 +69,12 @@ class VitTrainer(BaseTrainer):
             )(state["params"])
             updates, opt = self.tx.update(grads, state["opt"], state["params"])
             acc = jnp.mean((jnp.argmax(logits, -1) == target).astype(jnp.float32))
-            state = {
-                "step": state["step"] + 1,
-                "params": optax.apply_updates(state["params"], updates),
-                "opt": opt,
-            }
-            return state, {"loss": loss, "acc": acc}
+            params = optax.apply_updates(state["params"], updates)
+            new_state = {"step": state["step"] + 1, "params": params,
+                         "opt": opt}
+            if "ema" in state:
+                new_state["ema"] = self.ema_update(state, params)
+            return new_state, {"loss": loss, "acc": acc}
 
         @jax.jit
         def eval_step(params, img, target):
@@ -116,7 +118,7 @@ class VitTrainer(BaseTrainer):
         for img, target in self.val_dl:
             img_p, tgt_p, n = self.pad_batch(img, np.asarray(target))
             per_sample = self._eval_step(
-                self.state["params"], self.shard_batch(img_p),
+                self.eval_params(), self.shard_batch(img_p),
                 self.shard_batch(tgt_p),
             )
             correct.append(np.asarray(per_sample, np.float32)[:n])

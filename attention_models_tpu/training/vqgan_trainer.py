@@ -86,6 +86,10 @@ class VQGANTrainer(BaseTrainer):
         }
         self.lpips_params = lpips_params
         self.g_tx, self.d_tx = g_tx, d_tx
+        # training.ema_decay: EMA of the GENERATOR weights only (the
+        # discriminator exists for the training signal, not for serving);
+        # eval grids render through eval_params("g_params")
+        self.ema_init(g_params["params"])
         self.state = self.maybe_resume(self.state)
         self.state, state_sh = self.place_state(self.state)
 
@@ -170,15 +174,18 @@ class VQGANTrainer(BaseTrainer):
             g_updates, g_opt = self.g_tx.update(
                 g_grads, state["g_opt"], state["g_params"]
             )
+            g_new = optax.apply_updates(state["g_params"], g_updates)
             state = {
                 **state,
-                "g_params": optax.apply_updates(state["g_params"], g_updates),
+                "g_params": g_new,
                 "g_opt": g_opt,
                 "d_params": d_params,
                 "d_stats": stats,
                 "d_opt": d_opt,
                 "step": state["step"] + 1,
             }
+            if "ema" in state:
+                state["ema"] = self.ema_update(state, g_new)
             return state, {"d_loss": d_loss, "gp": gp, **aux}
 
         self._train_step = train_step
@@ -225,7 +232,8 @@ class VQGANTrainer(BaseTrainer):
                 break
             img = batch[0] if isinstance(batch, (tuple, list)) else batch
             img_p, n = self.pad_batch(img)
-            rec = self._recon(self.state["g_params"], self.shard_batch(img_p))
+            rec = self._recon(self.eval_params("g_params"),
+                              self.shard_batch(img_p))
             rec = np.asarray(rec, np.float32)[:n]
             pair = np.stack([np.asarray(img), rec], 1)
             pair = pair.reshape(-1, *pair.shape[2:])

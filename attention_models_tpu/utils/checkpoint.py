@@ -86,6 +86,30 @@ class CheckpointManager:
         log.info("restored checkpoint step=%d from %s", step, self._dir)
         return restored
 
+    def restore_params(self, template_params: Any, key: str = "params",
+                       prefer_ema: bool = True, step: int | None = None):
+        """Weights-for-inference restore: the ``key`` params subtree (trainers
+        save "params" or "g_params"), with the EMA subtrees
+        (``training.ema_decay``) overlaid when the checkpoint carries them —
+        serving should see the averaged weights, which is what EMA exists
+        for. Returns the params tree, or None when no checkpoint exists."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return None
+        path = self._item_path(step)
+        disk = dict(ocp.StandardCheckpointer().metadata(path).item_metadata)
+        template = {key: template_params}
+        if prefer_ema and "ema" in disk:
+            template["ema"] = {
+                k: template_params[k] for k in dict(disk["ema"])
+            }
+        restored = self.restore(template, step=step, partial=True)
+        params = restored[key]
+        if "ema" in restored:
+            log.info("using EMA weights for %s", sorted(restored["ema"]))
+            params = {**params, **restored["ema"]}
+        return params
+
     def _item_path(self, step: int) -> str:
         cand = os.path.join(self._dir, str(step))
         if not os.path.isdir(cand):  # zero-padded step-name formats

@@ -38,11 +38,11 @@ def _restore_params(variables, ckpt, key):
     if ckpt and os.path.isdir(ckpt):
         from attention_models_tpu.utils.checkpoint import CheckpointManager
 
-        state = CheckpointManager(ckpt).restore(
-            {"step": 0, key: variables["params"]}, partial=True
+        params = CheckpointManager(ckpt).restore_params(
+            variables["params"], key=key
         )
-        if state is not None:
-            return {"params": state[key]}
+        if params is not None:
+            return {"params": params}
     print("warning: no checkpoint loaded; exporting random init",
           file=sys.stderr)
     return variables

@@ -65,11 +65,11 @@ def main():
         functools.partial(model.init, method=MUSE.init_all)
     )(jax.random.key(0), ids, dummy, jax.random.key(1))
     if args.ckpt and os.path.isdir(args.ckpt):
-        state = CheckpointManager(args.ckpt).restore(
-            {"step": 0, "params": variables["params"]}, partial=True
+        params = CheckpointManager(args.ckpt).restore_params(
+            variables["params"]
         )
-        if state is not None:
-            variables = {"params": state["params"]}
+        if params is not None:
+            variables = {"params": params}
     if args.vq_ckpt:
         vq = load_vq_checkpoint(args.vq_ckpt, depth=6)
         if vq is not None:

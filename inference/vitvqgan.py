@@ -50,11 +50,11 @@ def load_params(model, ckpt_path: str, depth: int, example_imgs):
         from attention_models_tpu.utils.checkpoint import CheckpointManager
 
         template = jax.jit(model.init)(jax.random.key(0), example_imgs)
-        state = CheckpointManager(ckpt_path).restore(
-            {"step": 0, "g_params": template["params"]}, partial=True
+        params = CheckpointManager(ckpt_path).restore_params(
+            template["params"], key="g_params"
         )
-        if state is not None:
-            return {"params": state["g_params"]}
+        if params is not None:
+            return {"params": params}
     print("warning: no checkpoint loaded; using random init", file=sys.stderr)
     return jax.jit(model.init)(jax.random.key(0), example_imgs)
 

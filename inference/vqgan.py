@@ -45,11 +45,11 @@ def main():
         sd = ckpt.get("state_dict", ckpt)
         variables = {"params": convert_vqgan(state_dict_to_numpy(sd))}
     elif args.ckpt and os.path.isdir(args.ckpt):
-        state = CheckpointManager(args.ckpt).restore(
-            {"step": 0, "g_params": variables["params"]}, partial=True
+        params = CheckpointManager(args.ckpt).restore_params(
+            variables["params"], key="g_params"
         )
-        if state is not None:
-            variables = {"params": state["g_params"]}
+        if params is not None:
+            variables = {"params": params}
         else:
             print(f"warning: no checkpoint found in {args.ckpt}; "
                   f"using RANDOM init", file=sys.stderr)

@@ -646,7 +646,8 @@ def test_trainer_fsdp_checkpoint_resume(tmp_path):
     fsdp_over = {"experiment.save_every": 2,
                  "training.num_epochs": 2,
                  "training.fsdp": True,
-                 "training.fsdp_min_size": 1024}
+                 "training.fsdp_min_size": 1024,
+                 "training.ema_decay": 0.9}  # EMA composes with FSDP
     trainer, cfg = _run("vit_overfit.yaml", tmp_path, **fsdp_over)
     trainer.save_ckpt(trainer.state)
     saved_step = trainer.ckpt.latest_step()
@@ -681,7 +682,99 @@ def test_trainer_fsdp_checkpoint_resume(tmp_path):
         assert sharded, "restored params lost their FSDP placement"
         for leaf in sharded:
             assert leaf.addressable_shards[0].data.size == leaf.size // dp
+        # the EMA subtree composes: restored, and FSDP-placed like its twin
+        ema_sharded = [
+            l for p, l in
+            jax.tree_util.tree_flatten_with_path(trainer2.state["ema"])[0]
+            if "kernel" in str(p) and l.size >= 1024
+            and "data" in tuple(l.sharding.spec)
+        ]
+        assert ema_sharded, "restored EMA lost its FSDP placement"
         trainer2.train()
         assert trainer2.global_step > saved_step
+    finally:
+        os.chdir(cwd)
+
+
+def test_trainer_ema(tmp_path):
+    """training.ema_decay: the EMA subtree (a) excludes frozen towers,
+    (b) equals d*p0 + (1-d)*p1 after exactly one step, (c) backs
+    eval_params() while frozen towers stay live, (d) round-trips through
+    the checkpoint, and (e) is preferred by the inference-side
+    restore_params. (Beyond the reference: the published MaskGIT/Muse
+    recipes evaluate EMA weights; Accelerate-era trainers had none.)"""
+    import numpy as np
+
+    cfg = load_config(os.path.join(CFG_DIR, "maskgit_overfit.yaml"))
+    cfg.set_path("training.ema_decay", 0.5)
+    cfg.set_path("training.num_epochs", 1)  # 2 examples, batch 2 -> ONE step
+    cfg.set_path("lr_scheduler.params.warmup_steps", 0)  # lr>0 at step 0
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        model, patches = build_model(cfg)
+        loaders = build_loader(cfg)
+        trainer = build_trainer(cfg, model, loaders,
+                                pretrained_patches=patches)
+        assert "ema" in trainer.state
+        assert "vq" not in trainer.state["ema"], "frozen tower in EMA"
+        tracked = sorted(trainer.state["ema"])
+        assert tracked, "EMA tracks no subtrees"
+        p0 = jax.tree.map(
+            np.asarray, {k: trainer.state["params"][k] for k in tracked}
+        )
+        trainer.train()
+        assert trainer.global_step == 1
+
+        # exact one-step recurrence: ema = d*p0 + (1-d)*p1
+        p1 = jax.tree.map(
+            np.asarray, {k: trainer.state["params"][k] for k in tracked}
+        )
+        got = jax.tree.map(np.asarray, trainer.state["ema"])
+        expected = jax.tree.map(lambda a, b: 0.5 * a + 0.5 * b, p0, p1)
+        for (path, e), g in zip(
+            jax.tree_util.tree_flatten_with_path(expected)[0],
+            jax.tree.leaves(got),
+        ):
+            np.testing.assert_allclose(g, e, rtol=1e-6, atol=1e-7,
+                                       err_msg=str(path))
+        # ... and the step actually moved params away from the EMA
+        moved = [
+            not np.array_equal(a, b)
+            for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(p1))
+        ]
+        assert any(moved), "EMA identical to live params after a step"
+
+        # eval_params: EMA overlays trainable subtrees, frozen stays live
+        ep = trainer.eval_params()
+        assert ep["vq"] is trainer.state["params"]["vq"]
+        for k in tracked:
+            assert ep[k] is trainer.state["ema"][k]
+
+        # checkpoint round-trip + inference-side EMA preference
+        trainer.save_ckpt(trainer.state)
+        trainer.ckpt.wait()
+        template = jax.tree.map(np.asarray, trainer.state["params"])
+        rp = trainer.ckpt.restore_params(template)
+        for k, sub in rp.items():
+            ref = got[k] if k in got else jax.tree.map(
+                np.asarray, trainer.state["params"][k]
+            )
+            for a, b in zip(jax.tree.leaves(jax.tree.map(np.asarray, sub)),
+                            jax.tree.leaves(ref)):
+                np.testing.assert_array_equal(a, b)
+        # opt-out returns the live (non-averaged) weights
+        rp_live = trainer.ckpt.restore_params(template, prefer_ema=False)
+        for a, b in zip(
+            jax.tree.leaves(jax.tree.map(np.asarray, rp_live)),
+            jax.tree.leaves(jax.tree.map(np.asarray,
+                                         trainer.state["params"])),
+        ):
+            np.testing.assert_array_equal(a, b)
+
+        # invalid decay fails fast
+        cfg.set_path("training.ema_decay", 1.0)
+        with pytest.raises(ValueError, match="ema_decay"):
+            build_trainer(cfg, model, loaders, pretrained_patches=patches)
     finally:
         os.chdir(cwd)
