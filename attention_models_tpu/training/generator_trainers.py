@@ -70,6 +70,17 @@ class _GeneratorTrainer(BaseTrainer):
         if self.cache_tokens:
             self._pretokenize()
 
+    def log_val_loss(self, losses):
+        """Log the mean val loss over the evaluated batches (the reference
+        trainers render grids but never report a validation number). Val
+        losses are computed with deterministic=True and a FIXED rng so the
+        masking draw is identical across evals — the curve compares
+        like-for-like instead of bouncing with the mask sample."""
+        if losses:
+            self.metrics.log(
+                {"val_loss": float(np.mean(losses))}, self.global_step
+            )
+
     def _make_step(self, loss_of):
         """Jitted optimizer step from a loss(params, *batch_and_rng) fn —
         the train/token step pairs differ only in their loss."""
@@ -285,6 +296,13 @@ class MaskGitTrainer(_GeneratorTrainer):
 
         self._recon_step = recon_step
 
+        @jax.jit
+        def val_loss_step(params, img):
+            return model_apply({"params": params}, img, jax.random.key(0),
+                               deterministic=True)
+
+        self._val_loss_step = val_loss_step
+
     def train(self):
         from attention_models_tpu.data.loaders import device_prefetch
 
@@ -317,20 +335,26 @@ class MaskGitTrainer(_GeneratorTrainer):
         self.finish()
 
     def evaluate(self):
+        losses = []
         for i, (img, _) in enumerate(self.val_dl):
             if i > 10:
                 break
             img_p, n = self.pad_batch(img)
-            rec = self._recon_step(
-                self.eval_params(), self.shard_batch(img_p), self.rng()
-            )
+            img_d = self.shard_batch(img_p)
+            losses.append(float(self._val_loss_step(self.eval_params(),
+                                                    img_d)))
+            rec = self._recon_step(self.eval_params(), img_d, self.rng())
             self.log_image_grid(
                 np.asarray(rec, np.float32)[:n],
                 os.path.join(self.image_saved_dir, f"step_{i}.png"),
                 f"samples/recon_{i}",
             )
+        self.log_val_loss(losses)
 
     def on_sample(self):
+        self.evaluate()
+
+    def on_eval(self):
         self.evaluate()
 
 
@@ -377,6 +401,13 @@ class MuseTrainer(_GeneratorTrainer):
 
         self._generate_step = generate_step
 
+        @jax.jit
+        def val_loss_step(params, text_ids, img):
+            return model_apply({"params": params}, text_ids, img,
+                               jax.random.key(0), deterministic=True)
+
+        self._val_loss_step = val_loss_step
+
     def train(self):
         self._train_text_loop()
 
@@ -413,10 +444,17 @@ class MuseTrainer(_GeneratorTrainer):
         )
 
     def evaluate(self):
+        losses = []
         for i, (img, texts) in enumerate(self.val_dl):
             if i > 3:
                 break
-            ids, n = self.pad_batch(tokenize(list(texts), self.max_length))
+            ids, img_p, n = self.pad_batch(
+                tokenize(list(texts), self.max_length), np.asarray(img)
+            )
+            losses.append(float(self._val_loss_step(
+                self.eval_params(), self.shard_batch(ids),
+                self.shard_batch(img_p),
+            )))
             imgs = self._generate_step(self.eval_params(), jnp.array(ids),
                                        self.rng())
             self.log_image_grid(
@@ -424,6 +462,7 @@ class MuseTrainer(_GeneratorTrainer):
                 os.path.join(self.image_saved_dir, f"step_{i}.png"),
                 f"samples/eval_{i}",
             )
+        self.log_val_loss(losses)
 
 
 class PartiTrainer(_GeneratorTrainer):
@@ -468,19 +507,36 @@ class PartiTrainer(_GeneratorTrainer):
 
             self._token_step = self._make_step(tok_loss)
 
+        @jax.jit
+        def val_loss_step(params, text_ids, img):
+            return model_apply({"params": params}, text_ids, img,
+                               deterministic=True)
+
+        self._val_loss_step = val_loss_step
+
     def train(self):
         self._train_text_loop()
 
     def on_sample(self):
         self.evaluate()
 
+    def on_eval(self):
+        self.evaluate()
+
     def evaluate(self):
         from attention_models_tpu.models.parti import parti_generate
 
-        for i, (_, texts) in enumerate(self.val_dl):
+        losses = []
+        for i, (img, texts) in enumerate(self.val_dl):
             if i > 0:
                 break
-            ids, n = self.pad_batch(tokenize(list(texts), self.max_length))
+            ids, img_p, n = self.pad_batch(
+                tokenize(list(texts), self.max_length), np.asarray(img)
+            )
+            losses.append(float(self._val_loss_step(
+                self.eval_params(), self.shard_batch(ids),
+                self.shard_batch(img_p),
+            )))
             imgs = parti_generate(self.model, {"params": self.eval_params()},
                                   jnp.array(ids), self.rng())
             self.log_image_grid(
@@ -488,3 +544,4 @@ class PartiTrainer(_GeneratorTrainer):
                 os.path.join(self.image_saved_dir, f"parti_step_{i}.png"),
                 f"samples/eval_{i}",
             )
+        self.log_val_loss(losses)

@@ -227,6 +227,9 @@ class VQGANTrainer(BaseTrainer):
                 **{k: float(v) for k, v in m.items()}}
 
     def evaluate(self):
+        from attention_models_tpu.utils.eval_metrics import psnr
+
+        psnrs = []
         for i, batch in enumerate(self.val_dl):
             if i == 10:
                 break
@@ -235,9 +238,19 @@ class VQGANTrainer(BaseTrainer):
             rec = self._recon(self.eval_params("g_params"),
                               self.shard_batch(img_p))
             rec = np.asarray(rec, np.float32)[:n]
+            psnrs.append(np.asarray(psnr(
+                jnp.clip(jnp.asarray(rec), 0, 1),
+                jnp.asarray(np.asarray(img, np.float32)),
+            )))
             pair = np.stack([np.asarray(img), rec], 1)
             pair = pair.reshape(-1, *pair.shape[2:])
             self.log_image_grid(
                 pair, f"{self.image_saved_dir}/step_{i}.png",
                 f"samples/recon_{i}", nrow=6,
+            )
+        if psnrs:
+            # quantitative val fidelity (the reference renders grids only)
+            self.metrics.log(
+                {"val_psnr_db": float(np.mean(np.concatenate(psnrs)))},
+                self.global_step,
             )

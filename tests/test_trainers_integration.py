@@ -60,18 +60,40 @@ def test_vitvqgan_gan_trainer_runs(tmp_path):
     # sample grids written by evaluate()
     imgs = list((tmp_path / "outputs" / "vitvqgan_overfit" / "images").glob("*.png"))
     assert imgs
+    # evaluate() also logs quantitative val fidelity
+    assert any("val_psnr_db" in l for l in
+               _losses(tmp_path, "vitvqgan_overfit"))
 
 
 def test_maskgit_trainer_runs(tmp_path):
     trainer, _ = _run("maskgit_overfit.yaml", tmp_path)
     logs = _losses(tmp_path, "maskgit_overfit")
     assert any("loss" in l for l in logs)
+    # evaluate() logs a quantitative val metric (fixed-rng masked CE), and
+    # it is deterministic across calls so the curve compares like-for-like
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        trainer.evaluate()
+        trainer.evaluate()
+    finally:
+        os.chdir(cwd)
+    vals = [l["val_loss"] for l in _losses(tmp_path, "maskgit_overfit")
+            if "val_loss" in l]
+    assert len(vals) == 2 and vals[0] == vals[1], vals
 
 
 def test_muse_trainer_runs(tmp_path):
     trainer, _ = _run("muse_overfit.yaml", tmp_path)
     logs = _losses(tmp_path, "muse_overfit")
     assert any("loss" in l for l in logs)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        trainer.evaluate()
+    finally:
+        os.chdir(cwd)
+    assert any("val_loss" in l for l in _losses(tmp_path, "muse_overfit"))
 
 
 def test_vit_overfit_loss_decreases(tmp_path):
