@@ -170,6 +170,39 @@ class SyntheticImages:
         return self._CAPTIONS[idx % len(self._CAPTIONS)]
 
 
+class SyntheticSeq2Seq:
+    """Deterministic sequence-reversal pairs for the seq2seq ``Transformer``.
+
+    The reference documents Transformer training only as a README snippet
+    over random token pairs (/root/reference/README.md:55-89, with CE
+    ignore_index=0); this gives the model a *learnable* task with the same
+    token conventions so `main.py --config=cfg/transformer.yaml` trains it
+    end-to-end: PAD=0, START=1, END=2, payload tokens uniform in
+    [3, vocab_size). Items are ``(src, tgt)`` int32 arrays of static shape
+    ``(seq_len,)`` / ``(seq_len + 1,)`` where ``tgt = reversed(src) + [END]``
+    (the trainer builds the teacher-forcing input ``[START] + tgt[:-1]``).
+    """
+
+    PAD, START, END = 0, 1, 2
+
+    def __init__(self, n: int, seq_len: int, vocab_size: int, seed: int = 0):
+        if vocab_size <= 3:
+            raise ValueError("vocab_size must exceed the 3 special tokens")
+        self.n = int(n)
+        self.seq_len = int(seq_len)
+        self.vocab_size = int(vocab_size)
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx):
+        rs = np.random.RandomState(self.seed + idx)
+        src = rs.randint(3, self.vocab_size, self.seq_len).astype(np.int32)
+        tgt = np.concatenate([src[::-1], [self.END]]).astype(np.int32)
+        return src, tgt
+
+
 class Subset:
     def __init__(self, ds, indices: Sequence[int]):
         self.ds, self.indices = ds, list(indices)

@@ -24,6 +24,8 @@ def _collate(items, batch_transform=None):
     seconds = [it[1] for it in items]
     if isinstance(seconds[0], (int, np.integer)):
         return imgs, np.asarray(seconds, np.int32)
+    if isinstance(seconds[0], np.ndarray):  # seq2seq target sequences
+        return imgs, np.stack(seconds)
     return imgs, seconds  # captions stay a list[str]
 
 
@@ -168,6 +170,7 @@ def build_loader(cfg):
         CocoCaptions,
         ImageFolder,
         SyntheticImages,
+        SyntheticSeq2Seq,
         random_split,
     )
     from attention_models_tpu.data.transforms import (
@@ -217,6 +220,16 @@ def build_loader(cfg):
         train_ds = SyntheticImages(n, int(pp.resolution), with_captions)
         val_ds = SyntheticImages(max(n // 4, 2), int(pp.resolution),
                                  with_captions, seed=10_000)
+    elif name == "seq2seq":
+        # sequence-reversal pairs for the seq2seq Transformer (the one
+        # model the reference trains only via a README snippet)
+        n = min(int(cfg.experiment.max_train_examples),
+                int(params.get("num_examples", 10_000)))
+        seq_len = int(params.seq_len)
+        vocab = int(params.get("vocab_size", cfg.model.get("vocab_size", 1000)))
+        train_ds = SyntheticSeq2Seq(n, seq_len, vocab)
+        val_ds = SyntheticSeq2Seq(max(n // 8, 2), seq_len, vocab,
+                                  seed=10_000_000)
     else:
         raise ValueError(f"unknown dataset {name!r}")
 

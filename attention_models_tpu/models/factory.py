@@ -185,6 +185,24 @@ def build_model(cfg):
             dtype=dtype,
         ), patches
 
+    if name == "transformer":
+        # seq2seq encoder-decoder LM. The reference documents it only as a
+        # README training snippet (README.md:55-89) with no factory branch,
+        # config, or trainer; here it is a first-class config-driven model.
+        m = cfg.model
+        from attention_models_tpu.models.transformer import Transformer
+
+        return Transformer(
+            dim=m.dim,
+            vocab_size=m.vocab_size,
+            n_heads=m.n_heads,
+            d_head=m.get("d_head", 64),
+            enc_depth=m.enc_depth,
+            dec_depth=m.dec_depth,
+            n_classes=m.get("n_classes", m.vocab_size),
+            dtype=dtype,
+        ), patches
+
     if name == "vit":
         t = cfg.model.transformer
         return ViT(

@@ -31,6 +31,12 @@ def build_trainer(cfg, model, dataloaders, pretrained_patches=None):
         cls = MaskGitTrainer
     elif name == "parti":
         cls = PartiTrainer
+    elif name == "transformer":
+        from attention_models_tpu.training.transformer_trainer import (
+            TransformerTrainer,
+        )
+
+        cls = TransformerTrainer
     else:
         raise ValueError(f"no trainer for model {name!r}")
     return cls(cfg, model, dataloaders, pretrained_patches)

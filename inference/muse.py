@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--output", default="test.jpg")
     ap.add_argument("--timesteps", type=int, default=18)
+    ap.add_argument("--guidance-scale", type=float, default=None,
+                    help="CFG scale (default: the model's trained scale, 3.0 "
+                         "— the reference hardcodes 3, muse.py:217)")
     ap.add_argument("--approx-topk", dest="approx_topk",
                     action="store_true",
                     help="faster lax.approx_max_k top-p filter (recall ~0.95) instead of the reference-exact top-count filter")
@@ -77,6 +80,7 @@ def main():
 
     imgs = jax.jit(functools.partial(model.apply, timesteps=args.timesteps,
                                approx_topk=args.approx_topk,
+                               guidance_scale=args.guidance_scale,
                                method=MUSE.generate))(
         variables, ids, jax.random.key(2))
     from PIL import Image

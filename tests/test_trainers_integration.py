@@ -110,6 +110,36 @@ def test_parti_trainer_runs(tmp_path):
     assert any("loss" in l for l in logs)
 
 
+def test_transformer_trainer_runs(tmp_path):
+    """Seq2seq Transformer end-to-end through main-path code: the reference
+    trains this model only via its README snippet (README.md:55-89)."""
+    trainer, _ = _run("transformer_overfit.yaml", tmp_path)
+    logs = _losses(tmp_path, "transformer_overfit")
+    assert any("loss" in l for l in logs)
+    # eval_every=4 fired inside the 4-step run -> padded-CE + token-acc
+    assert any("val_loss" in l for l in logs)
+    assert any("val_token_acc" in l for l in logs)
+
+
+def test_transformer_overfit_loss_decreases(tmp_path):
+    trainer, _ = _run(
+        "transformer_overfit.yaml", tmp_path,
+        **{"training.num_epochs": 30,
+           "experiment.eval_every": 1000000,
+           "experiment.sample_every": 58,
+           "optimizer.params.learning_rate": 0.003},
+    )
+    logs = _losses(tmp_path, "transformer_overfit")
+    losses = [l["loss"] for l in logs if "loss" in l]
+    assert len(losses) > 10
+    assert min(losses[-5:]) < losses[0], (
+        f"loss did not decrease: {losses[:3]} -> {losses[-3:]}"
+    )
+    # sample_every fired once near the end: generate ran through the
+    # bounded-scan decode and logged sequence-match metrics
+    assert any("sample_exact_match" in l for l in logs)
+
+
 def test_trainer_checkpoint_resume(tmp_path):
     """Resume restores the EXACT saved state: params bit-equal the saved
     snapshot, step counter carries over, host PRNG stream continues, and
