@@ -84,10 +84,53 @@ def create_mesh(
         dims.append((SEQ_AXIS, seq))
     dims.append((MODEL_AXIS, model))
     auto = jax.sharding.AxisType.Auto
+    n_slices = len({getattr(d, "slice_index", 0) for d in devices})
+    if n_slices > 1:
+        # Multi-slice pod: jax.make_mesh refuses these topologies outright.
+        # Put the data axis over DCN (gradient all-reduce is the only
+        # cross-slice collective and it overlaps with backward) and keep
+        # model/seq/stage inside a slice so their chatty collectives ride ICI.
+        mesh_devices = hybrid_mesh_devices(dims, devices, n_slices)
+        return Mesh(
+            mesh_devices,
+            tuple(a for a, _ in dims),
+            axis_types=(auto,) * len(dims),
+        )
     # Auto axis types: let GSPMD propagate shardings through reshapes etc.
     return jax.make_mesh(
         tuple(s for _, s in dims), tuple(a for a, _ in dims),
         devices=devices, axis_types=(auto,) * len(dims),
+    )
+
+
+def hybrid_mesh_devices(dims, devices, n_slices: int):
+    """Device ndarray for a multi-slice (DCN-connected) pod, shaped to
+    ``dims`` (``[(axis_name, size), ...]``).
+
+    The data axis is factored as ``n_slices (DCN) x data//n_slices (ICI)``;
+    every other axis lives entirely within a slice, so TP/SP/PP collectives
+    (all-gather, ppermute rings, all_to_all) never cross the slow network.
+    Delegates the per-slice physical layout to
+    ``mesh_utils.create_hybrid_device_mesh`` which orders each slice's
+    granule for its ICI topology.
+    """
+    from jax.experimental import mesh_utils
+
+    sizes = dict(dims)
+    data = sizes[DATA_AXIS]
+    if data % n_slices != 0:
+        raise ValueError(
+            f"data={data} must be divisible by the {n_slices} DCN-connected "
+            "slices: the data axis is the only one allowed to span DCN "
+            "(model/seq/stage collectives must stay on ICI). Use a dp "
+            "degree that is a multiple of the slice count."
+        )
+    ici_shape = tuple(
+        s // n_slices if a == DATA_AXIS else s for a, s in dims
+    )
+    dcn_shape = tuple(n_slices if a == DATA_AXIS else 1 for a, _ in dims)
+    return mesh_utils.create_hybrid_device_mesh(
+        ici_shape, dcn_shape, devices
     )
 
 

@@ -101,3 +101,68 @@ print("runtime_init OK", len(jax.devices()))
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "runtime_init OK" in r.stdout
+
+
+class _SliceProxy:
+    """CPU device masquerading as a device on a multi-slice pod: delegates
+    everything to the wrapped device but reports a fake ``slice_index`` —
+    exactly the attribute mesh_utils granulates hybrid meshes by."""
+
+    def __init__(self, device, slice_index):
+        object.__setattr__(self, "_device", device)
+        object.__setattr__(self, "slice_index", slice_index)
+
+    def __getattr__(self, name):
+        return getattr(object.__getattribute__(self, "_device"), name)
+
+    def __repr__(self):
+        d = object.__getattribute__(self, "_device")
+        return f"SliceProxy({d!r}, slice={self.slice_index})"
+
+
+def test_multislice_hybrid_mesh_keeps_model_axis_on_ici():
+    """On a DCN-connected multi-slice pod, create_mesh must (a) not crash
+    (jax.make_mesh refuses multi-slice topologies) and (b) lay out the mesh
+    so only the data axis crosses slices: every (stage, seq, model) fiber —
+    here the model axis — stays inside one slice, keeping TP collectives on
+    ICI. Simulated with 2 fake slices x 4 CPU devices."""
+    from attention_models_tpu.parallel.mesh import hybrid_mesh_devices
+
+    real = jax.devices()[:8]
+    proxies = [_SliceProxy(d, slice_index=i // 4) for i, d in enumerate(real)]
+
+    arr = hybrid_mesh_devices(
+        [("data", 4), ("model", 2)], proxies, n_slices=2
+    )
+    assert arr.shape == (4, 2)
+    # model fibers never cross a slice boundary
+    for row in arr:
+        assert len({d.slice_index for d in row}) == 1
+    # the data axis spans both slices, DCN-major
+    assert [arr[i, 0].slice_index for i in range(4)] == [0, 0, 1, 1]
+
+    # the create_mesh wrapper takes the hybrid path on proxy devices
+    mesh = create_mesh(data=4, model=2, devices=proxies)
+    assert mesh.shape == {"data": 4, "model": 2}
+
+    # the same layout built on the real devices executes a sharded sum
+    unwrap = np.vectorize(
+        lambda p: object.__getattribute__(p, "_device"), otypes=[object]
+    )
+    real_mesh = jax.sharding.Mesh(unwrap(arr), ("data", "model"))
+    x = jax.device_put(
+        np.arange(32, dtype=np.float32).reshape(8, 4),
+        jax.sharding.NamedSharding(real_mesh, P("data", "model")),
+    )
+    assert float(jnp.sum(x)) == float(np.arange(32).sum())
+
+
+def test_multislice_indivisible_data_raises():
+    import pytest
+
+    real = jax.devices()[:8]
+    proxies = [_SliceProxy(d, slice_index=i // 4) for i, d in enumerate(real)]
+    # dp=1, tp=8 would force the model axis across both slices -> must
+    # refuse (TP all-gathers belong on ICI), not silently span DCN
+    with pytest.raises(ValueError, match="DCN"):
+        create_mesh(data=1, model=8, devices=proxies)
