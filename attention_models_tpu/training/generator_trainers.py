@@ -70,16 +70,58 @@ class _GeneratorTrainer(BaseTrainer):
         if self.cache_tokens:
             self._pretokenize()
 
-    def log_val_loss(self, losses):
+    def log_val_loss(self, losses, real_feats=(), gen_feats=()):
         """Log the mean val loss over the evaluated batches (the reference
         trainers render grids but never report a validation number). Val
         losses are computed with deterministic=True and a FIXED rng so the
         masking draw is identical across evals — the curve compares
-        like-for-like instead of bouncing with the mask sample."""
+        like-for-like instead of bouncing with the mask sample.
+
+        With ``training.eval_fid`` the evaluate() loops also hand in VGG
+        feature batches of the real vs generated images and a ``val_fid_vgg``
+        Fréchet distance is logged alongside."""
+        m = {}
         if losses:
-            self.metrics.log(
-                {"val_loss": float(np.mean(losses))}, self.global_step
+            m["val_loss"] = float(np.mean(losses))
+        if len(real_feats) and len(gen_feats):
+            from attention_models_tpu.utils.eval_metrics import fid_score
+
+            m["val_fid_vgg"] = fid_score(
+                np.concatenate(real_feats), np.concatenate(gen_feats)
             )
+        if m:
+            self.metrics.log(m, self.global_step)
+
+    @property
+    def eval_fid_on(self) -> bool:
+        """Generative FID is opt-in for generator trainers (the GAN trainer
+        defaults it on — its LPIPS tower is already resident; here the VGG
+        tower exists only for the metric)."""
+        return bool(self.cfg.training.get("eval_fid", False))
+
+    def fid_features(self, imgs) -> np.ndarray:
+        """(b, 512) pooled VGG16 features for the eval-cadence FID. The
+        tower uses a FIXED random init (seed 0) — deterministic, so the
+        metric compares like-for-like across evals and runs; convert
+        pretrained weights into the LPIPS tower for published-scale FID."""
+        if getattr(self, "_fid_feat_fn", None) is None:
+            from attention_models_tpu.training.losses import VGG16Features
+            from attention_models_tpu.utils.eval_metrics import (
+                vgg_fid_features,
+            )
+
+            res = int(imgs.shape[-1])
+            tower = VGG16Features()
+            p = tower.init(
+                jax.random.key(0), jnp.zeros((1, res, res, 3), jnp.float32)
+            )
+            wrapped = {"params": {"vgg": p["params"]}}
+            self._fid_feat_fn = jax.jit(
+                lambda im: vgg_fid_features(wrapped, im)
+            )
+        return np.asarray(
+            self._fid_feat_fn(jnp.asarray(np.asarray(imgs), jnp.float32))
+        )
 
     def _make_step(self, loss_of):
         """Jitted optimizer step from a loss(params, *batch_and_rng) fn —
@@ -335,7 +377,7 @@ class MaskGitTrainer(_GeneratorTrainer):
         self.finish()
 
     def evaluate(self):
-        losses = []
+        losses, real_f, gen_f = [], [], []
         for i, (img, _) in enumerate(self.val_dl):
             if i > 10:
                 break
@@ -344,12 +386,16 @@ class MaskGitTrainer(_GeneratorTrainer):
             losses.append(float(self._val_loss_step(self.eval_params(),
                                                     img_d)))
             rec = self._recon_step(self.eval_params(), img_d, self.rng())
+            rec = np.asarray(rec, np.float32)
+            if self.eval_fid_on:
+                real_f.append(self.fid_features(img_p)[:n])
+                gen_f.append(self.fid_features(np.clip(rec, 0, 1))[:n])
             self.log_image_grid(
-                np.asarray(rec, np.float32)[:n],
+                rec[:n],
                 os.path.join(self.image_saved_dir, f"step_{i}.png"),
                 f"samples/recon_{i}",
             )
-        self.log_val_loss(losses)
+        self.log_val_loss(losses, real_f, gen_f)
 
     def on_sample(self):
         self.evaluate()
@@ -444,7 +490,7 @@ class MuseTrainer(_GeneratorTrainer):
         )
 
     def evaluate(self):
-        losses = []
+        losses, real_f, gen_f = [], [], []
         for i, (img, texts) in enumerate(self.val_dl):
             if i > 3:
                 break
@@ -457,12 +503,19 @@ class MuseTrainer(_GeneratorTrainer):
             )))
             imgs = self._generate_step(self.eval_params(), jnp.array(ids),
                                        self.rng())
+            imgs = np.asarray(imgs, np.float32)
+            if self.eval_fid_on:
+                # text-conditioned generation vs the real val images — the
+                # true generative-quality axis (the reference only eyeballs
+                # grids, /root/reference/trainers/muse.py:137-153)
+                real_f.append(self.fid_features(img_p)[:n])
+                gen_f.append(self.fid_features(np.clip(imgs, 0, 1))[:n])
             self.log_image_grid(
-                np.asarray(imgs, np.float32)[:n],
+                imgs[:n],
                 os.path.join(self.image_saved_dir, f"step_{i}.png"),
                 f"samples/eval_{i}",
             )
-        self.log_val_loss(losses)
+        self.log_val_loss(losses, real_f, gen_f)
 
 
 class PartiTrainer(_GeneratorTrainer):
@@ -526,7 +579,7 @@ class PartiTrainer(_GeneratorTrainer):
     def evaluate(self):
         from attention_models_tpu.models.parti import parti_generate
 
-        losses = []
+        losses, real_f, gen_f = [], [], []
         for i, (img, texts) in enumerate(self.val_dl):
             if i > 0:
                 break
@@ -539,9 +592,13 @@ class PartiTrainer(_GeneratorTrainer):
             )))
             imgs = parti_generate(self.model, {"params": self.eval_params()},
                                   jnp.array(ids), self.rng())
+            imgs = np.asarray(imgs, np.float32)
+            if self.eval_fid_on:
+                real_f.append(self.fid_features(img_p)[:n])
+                gen_f.append(self.fid_features(np.clip(imgs, 0, 1))[:n])
             self.log_image_grid(
-                np.asarray(imgs, np.float32)[:n],
+                imgs[:n],
                 os.path.join(self.image_saved_dir, f"parti_step_{i}.png"),
                 f"samples/eval_{i}",
             )
-        self.log_val_loss(losses)
+        self.log_val_loss(losses, real_f, gen_f)

@@ -227,9 +227,12 @@ class VQGANTrainer(BaseTrainer):
                 **{k: float(v) for k, v in m.items()}}
 
     def evaluate(self):
-        from attention_models_tpu.utils.eval_metrics import psnr
+        from attention_models_tpu.utils.eval_metrics import (
+            psnr, fid_score, vgg_fid_features,
+        )
 
-        psnrs = []
+        eval_fid = bool(self.cfg.training.get("eval_fid", True))
+        psnrs, real_feats, rec_feats = [], [], []
         for i, batch in enumerate(self.val_dl):
             if i == 10:
                 break
@@ -242,6 +245,14 @@ class VQGANTrainer(BaseTrainer):
                 jnp.clip(jnp.asarray(rec), 0, 1),
                 jnp.asarray(np.asarray(img, np.float32)),
             )))
+            if eval_fid:
+                # VGG-FID features through the LPIPS tower already on device
+                real_feats.append(np.asarray(vgg_fid_features(
+                    self.lpips_params, jnp.asarray(np.asarray(img, np.float32))
+                )))
+                rec_feats.append(np.asarray(vgg_fid_features(
+                    self.lpips_params, jnp.clip(jnp.asarray(rec), 0, 1)
+                )))
             pair = np.stack([np.asarray(img), rec], 1)
             pair = pair.reshape(-1, *pair.shape[2:])
             self.log_image_grid(
@@ -250,7 +261,9 @@ class VQGANTrainer(BaseTrainer):
             )
         if psnrs:
             # quantitative val fidelity (the reference renders grids only)
-            self.metrics.log(
-                {"val_psnr_db": float(np.mean(np.concatenate(psnrs)))},
-                self.global_step,
-            )
+            m = {"val_psnr_db": float(np.mean(np.concatenate(psnrs)))}
+            if eval_fid:
+                m["val_fid_vgg"] = fid_score(
+                    np.concatenate(real_feats), np.concatenate(rec_feats)
+                )
+            self.metrics.log(m, self.global_step)

@@ -8,6 +8,7 @@ import os
 
 import jax
 
+import numpy as np
 import pytest
 
 from attention_models_tpu.data import build_loader
@@ -61,12 +62,17 @@ def test_vitvqgan_gan_trainer_runs(tmp_path):
     imgs = list((tmp_path / "outputs" / "vitvqgan_overfit" / "images").glob("*.png"))
     assert imgs
     # evaluate() also logs quantitative val fidelity
-    assert any("val_psnr_db" in l for l in
-               _losses(tmp_path, "vitvqgan_overfit"))
+    evals = [l for l in _losses(tmp_path, "vitvqgan_overfit")
+             if "val_psnr_db" in l]
+    assert evals
+    # VGG-FID at the same cadence: a real finite distance (recon != input)
+    assert all(np.isfinite(l["val_fid_vgg"]) and l["val_fid_vgg"] >= 0
+               for l in evals)
 
 
 def test_maskgit_trainer_runs(tmp_path):
-    trainer, _ = _run("maskgit_overfit.yaml", tmp_path)
+    trainer, _ = _run("maskgit_overfit.yaml", tmp_path,
+                      **{"training.eval_fid": True})
     logs = _losses(tmp_path, "maskgit_overfit")
     assert any("loss" in l for l in logs)
     # evaluate() logs a quantitative val metric (fixed-rng masked CE), and
@@ -81,6 +87,12 @@ def test_maskgit_trainer_runs(tmp_path):
     vals = [l["val_loss"] for l in _losses(tmp_path, "maskgit_overfit")
             if "val_loss" in l]
     assert len(vals) == 2 and vals[0] == vals[1], vals
+    # opt-in generative FID (training.eval_fid): logged each evaluate(),
+    # finite and >= 0 (the recon mask draw is live rng, so the value itself
+    # varies across evals; determinism is the val_loss' job)
+    fids = [l["val_fid_vgg"] for l in _losses(tmp_path, "maskgit_overfit")
+            if "val_fid_vgg" in l]
+    assert len(fids) == 2 and np.isfinite(fids).all() and min(fids) >= 0
 
 
 def test_muse_trainer_runs(tmp_path):
