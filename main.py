@@ -7,7 +7,33 @@ the reference) and runs training on the TPU mesh.
 """
 
 import logging
+import os
 import sys
+
+
+def _honor_platform_env():
+    """Restore standard ``JAX_PLATFORMS`` semantics. Site hooks (e.g. the
+    axon TPU-tunnel sitecustomize) may force their platform via
+    ``jax.config`` — which beats env vars — so ``JAX_PLATFORMS=cpu python
+    main.py`` would silently land on the TPU. Re-assert the user's env
+    choice before any backend initialization."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    import jax
+
+    have = jax.config.jax_platforms or ""
+    # same primary platform (e.g. env "axon" vs hook's "axon,cpu"): keep
+    # the hook's richer fallback list; only override a real disagreement
+    if have.split(",")[0].strip() == want.split(",")[0].strip():
+        return
+    try:
+        jax.config.update("jax_platforms", want)
+    except Exception:
+        pass  # backend already up (e.g. re-entrant import); keep it
+
+
+_honor_platform_env()
 
 from attention_models_tpu.data import build_loader
 from attention_models_tpu.models.factory import build_model
