@@ -62,6 +62,8 @@ def feature_stats(feats):
 
     f = np.asarray(feats, np.float64)
     mu = f.mean(axis=0)
+    if f.shape[0] < 2:  # np.cov would emit NaN (ddof=1); define cov as 0
+        return mu, np.zeros((f.shape[1], f.shape[1]))
     cov = np.cov(f, rowvar=False)
     return mu, np.atleast_2d(cov)
 

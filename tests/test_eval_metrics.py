@@ -83,3 +83,9 @@ def test_vgg_fid_features_shape_and_signal():
     np.testing.assert_array_equal(feats, again)
     other = np.asarray(vgg_fid_features(params, imgs[::-1]))
     assert not np.array_equal(feats[0], other[0])
+
+
+def test_fid_single_sample_defined():
+    # n=1 per side: cov degenerates to 0 -> FID reduces to |mu_a - mu_b|^2
+    a, b = np.zeros((1, 4)), np.full((1, 4), 2.0)
+    np.testing.assert_allclose(fid_score(a, b), 16.0, rtol=1e-12)
