@@ -77,3 +77,26 @@ def test_missing_key_raises():
         raise AssertionError("expected AttributeError")
     except AttributeError:
         pass
+
+
+def test_main_honors_jax_platforms_env(tmp_path):
+    """Regression: site hooks (the axon TPU tunnel) force their platform via
+    jax.config, which beats env vars — `JAX_PLATFORMS=cpu python main.py`
+    silently landed on the TPU. main._honor_platform_env restores standard
+    env semantics before any backend touch."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import main, jax; "
+        "assert jax.devices()[0].platform == 'cpu', jax.devices()"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # plain 1-device cpu is fine here
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=240, env=env,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
