@@ -19,3 +19,14 @@ Rebuilds the capabilities of the PyTorch reference ``pranoyr/attention-models``
 """
 
 __version__ = "0.1.0"
+
+
+def sync(out):
+    """Package-canonical device synchronizer for ALL timing code: fetch one
+    element to host (``utils.profiling.force_sync``). ``jax.
+    block_until_ready`` can be a NO-OP on tunneled experimental platforms
+    (axon), which silently corrupts wall-clock measurements — never time
+    with it directly."""
+    from attention_models_tpu.utils.profiling import force_sync
+
+    force_sync(out)

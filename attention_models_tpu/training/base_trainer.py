@@ -322,6 +322,35 @@ class BaseTrainer:
         save_image_grid(images, path, nrow=nrow)
         self.metrics.log_image(name, make_grid(images, nrow), self.global_step)
 
+    def fid_features(self, imgs) -> np.ndarray:
+        """(b, 512) pooled VGG16 features for the eval-cadence FID. The
+        tower uses a FIXED random init (seed 0) — deterministic, so the
+        metric compares like-for-like across evals, runs, AND trainer types
+        (a config-seed tower would make values comparable only within one
+        seed); convert pretrained weights into the LPIPS tower for
+        published-scale FID."""
+        import jax
+        import jax.numpy as jnp
+
+        if getattr(self, "_fid_feat_fn", None) is None:
+            from attention_models_tpu.training.losses import VGG16Features
+            from attention_models_tpu.utils.eval_metrics import (
+                vgg_fid_features,
+            )
+
+            res = int(np.asarray(imgs).shape[-1])
+            tower = VGG16Features()
+            p = tower.init(
+                jax.random.key(0), jnp.zeros((1, res, res, 3), jnp.float32)
+            )
+            wrapped = {"params": {"vgg": p["params"]}}
+            self._fid_feat_fn = jax.jit(
+                lambda im: vgg_fid_features(wrapped, im)
+            )
+        return np.asarray(
+            self._fid_feat_fn(jnp.asarray(np.asarray(imgs), jnp.float32))
+        )
+
     def eval_params(self, key: str = "params"):
         """Weights for sampling/eval: the EMA-averaged trainable subtrees
         overlay the live params when ``training.ema_decay`` is set (the

@@ -99,29 +99,8 @@ class _GeneratorTrainer(BaseTrainer):
         tower exists only for the metric)."""
         return bool(self.cfg.training.get("eval_fid", False))
 
-    def fid_features(self, imgs) -> np.ndarray:
-        """(b, 512) pooled VGG16 features for the eval-cadence FID. The
-        tower uses a FIXED random init (seed 0) — deterministic, so the
-        metric compares like-for-like across evals and runs; convert
-        pretrained weights into the LPIPS tower for published-scale FID."""
-        if getattr(self, "_fid_feat_fn", None) is None:
-            from attention_models_tpu.training.losses import VGG16Features
-            from attention_models_tpu.utils.eval_metrics import (
-                vgg_fid_features,
-            )
-
-            res = int(imgs.shape[-1])
-            tower = VGG16Features()
-            p = tower.init(
-                jax.random.key(0), jnp.zeros((1, res, res, 3), jnp.float32)
-            )
-            wrapped = {"params": {"vgg": p["params"]}}
-            self._fid_feat_fn = jax.jit(
-                lambda im: vgg_fid_features(wrapped, im)
-            )
-        return np.asarray(
-            self._fid_feat_fn(jnp.asarray(np.asarray(imgs), jnp.float32))
-        )
+    # fid_features lives on BaseTrainer (shared with VQGANTrainer so the
+    # seed-0 tower makes val_fid_vgg comparable across trainer types)
 
     def _make_step(self, loss_of):
         """Jitted optimizer step from a loss(params, *batch_and_rng) fn —
@@ -577,11 +556,20 @@ class PartiTrainer(_GeneratorTrainer):
         self.evaluate()
 
     def evaluate(self):
+        """Val loss + grid from the first val batch; when ``training.
+        eval_fid`` is on, FID features accumulate over ``training.
+        eval_fid_batches`` (default 4) batches — a single ~batch-size
+        feature set in 512 dims gives an essentially-noise covariance
+        estimate, so the distance would swing between identical-quality
+        models. Each extra batch costs a full AR decode, hence a smaller
+        default than MaskGit's 11."""
         from attention_models_tpu.models.parti import parti_generate
 
+        n_batches = (int(self.cfg.training.get("eval_fid_batches", 4))
+                     if self.eval_fid_on else 1)
         losses, real_f, gen_f = [], [], []
         for i, (img, texts) in enumerate(self.val_dl):
-            if i > 0:
+            if i >= n_batches:
                 break
             ids, img_p, n = self.pad_batch(
                 tokenize(list(texts), self.max_length), np.asarray(img)

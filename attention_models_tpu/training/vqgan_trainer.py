@@ -227,9 +227,7 @@ class VQGANTrainer(BaseTrainer):
                 **{k: float(v) for k, v in m.items()}}
 
     def evaluate(self):
-        from attention_models_tpu.utils.eval_metrics import (
-            psnr, fid_score, vgg_fid_features,
-        )
+        from attention_models_tpu.utils.eval_metrics import psnr, fid_score
 
         eval_fid = bool(self.cfg.training.get("eval_fid", True))
         psnrs, real_feats, rec_feats = [], [], []
@@ -246,13 +244,12 @@ class VQGANTrainer(BaseTrainer):
                 jnp.asarray(np.asarray(img, np.float32)),
             )))
             if eval_fid:
-                # VGG-FID features through the LPIPS tower already on device
-                real_feats.append(np.asarray(vgg_fid_features(
-                    self.lpips_params, jnp.asarray(np.asarray(img, np.float32))
-                )))
-                rec_feats.append(np.asarray(vgg_fid_features(
-                    self.lpips_params, jnp.clip(jnp.asarray(rec), 0, 1)
-                )))
+                # seed-0 tower from BaseTrainer.fid_features — the LPIPS
+                # tower here is config-seed-initialized, which would make
+                # val_fid_vgg incomparable across seeds and trainer types
+                real_feats.append(self.fid_features(
+                    np.asarray(img, np.float32)))
+                rec_feats.append(self.fid_features(np.clip(rec, 0, 1)))
             pair = np.stack([np.asarray(img), rec], 1)
             pair = pair.reshape(-1, *pair.shape[2:])
             self.log_image_grid(

@@ -94,9 +94,11 @@ def frechet_distance(mu1, cov1, mu2, cov2, eps: float = 1e-6) -> float:
             )
     if np.iscomplexobj(covmean):
         covmean = covmean.real
-    return float(
+    # the true distance is non-negative; sqrtm roundoff can push
+    # near-identical feature sets slightly below zero
+    return max(0.0, float(
         diff @ diff + np.trace(cov1) + np.trace(cov2) - 2.0 * np.trace(covmean)
-    )
+    ))
 
 
 def fid_score(feats_a, feats_b) -> float:

@@ -38,9 +38,20 @@ def profile_run(log_dir: str):
 
 
 def force_sync(out) -> None:
-    """Synchronize on a computation by fetching one element to host."""
+    """Synchronize on a computation by fetching one element to host.
+
+    ``jax.block_until_ready`` alone can be a NO-OP on tunneled experimental
+    platforms (axon), so after the standard barrier we also pull one element
+    of the first leaf's local shard — the device stream is FIFO, so that
+    value landing means every queued computation ran. The shard indirection
+    avoids tracing ops (ravel) over explicitly-sharded arrays, which the
+    sharding-in-types checker rejects outside jit."""
     leaf = jax.tree.leaves(out)[0]
-    np.asarray(jax.numpy.ravel(leaf)[0])
+    jax.block_until_ready(leaf)
+    shards = getattr(leaf, "addressable_shards", None)
+    # a single shard is a plain single-device array: ravel is shard-free
+    data = shards[0].data if shards else leaf
+    np.asarray(data.ravel()[0] if hasattr(data, "ravel") else data)
 
 
 class StepTimer:

@@ -20,12 +20,12 @@ def log(*a):
 
 
 def sync(out):
-    """Force execution by fetching one element to the host (block_until_ready
-    can be a no-op on experimental tunneled platforms)."""
-    import jax
+    """Force execution by fetching one element to the host — the package-
+    canonical synchronizer (block_until_ready can be a no-op on experimental
+    tunneled platforms; see attention_models_tpu.sync)."""
+    from attention_models_tpu.utils.profiling import force_sync
 
-    leaf = jax.tree.leaves(out)[0]
-    return np.asarray(leaf.ravel()[0])
+    force_sync(out)
 
 
 def time_fn(fn, *args, iters=20, warmup=2):

@@ -29,8 +29,14 @@ def _honor_platform_env():
         return
     try:
         jax.config.update("jax_platforms", want)
-    except Exception:
-        pass  # backend already up (e.g. re-entrant import); keep it
+    except Exception as e:
+        # backend already up (e.g. re-entrant import) — training would
+        # silently proceed on the wrong platform, so say which one
+        print(
+            f"WARNING: could not honor JAX_PLATFORMS={want!r} "
+            f"(active: {have!r}): {e}",
+            file=sys.stderr,
+        )
 
 
 _honor_platform_env()

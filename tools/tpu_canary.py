@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
+from attention_models_tpu import sync  # noqa: E402
 from attention_models_tpu.ops.flash_attention import flash_attention  # noqa: E402
 
 
@@ -31,11 +32,11 @@ def main() -> float:
     q = jnp.asarray(rs.standard_normal((8, 8, 1024, 64)), jnp.bfloat16)
     f = jax.jit(flash_attention)
     o = f(q, q, q)
-    np.asarray(o.ravel()[0])  # real sync (block_until_ready is a no-op here)
+    sync(o)  # real sync (block_until_ready is a no-op here)
     st = time.perf_counter()
     for _ in range(20):
         o = f(q, q, q)
-    np.asarray(o.ravel()[0])
+    sync(o)
     ms = (time.perf_counter() - st) / 20 * 1e3
     verdict = "healthy" if ms < 1.2 else "DEGRADED — do not trust perf numbers"
     print(f"canary flash fwd: {ms:.2f} ms (healthy ~0.86) -> {verdict}")
