@@ -140,6 +140,19 @@ class FeedForward(nn.Module):
             if tileable:  # ffn_supported() already gates on the TPU backend
                 return fused_ffn_q8(x, w1, gamma, w2)
             return ffn_q8_reference(x, w1, gamma, w2)
+        if self.quant == "int8_wide":
+            # selective W8A8: ONLY the down-projection (contraction = inner,
+            # the one matmul in int8's ≥4096-contraction profit region for
+            # the Muse mult=8 FFN); up-projection and every other model
+            # matmul stay bf16. Inference-only, like "int8".
+            from attention_models_tpu.ops.quant import (
+                ffn_q8wide_reference,
+                fused_ffn_q8wide,
+            )
+
+            if tileable:
+                return fused_ffn_q8wide(x, w1, gamma, w2)
+            return ffn_q8wide_reference(x, w1, gamma, w2)
         if tileable:
             return fused_ffn(x, w1, gamma, w2)
 

@@ -35,7 +35,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from attention_models_tpu.ops.ffn import _gelu_exact, pick_block_rows
+from attention_models_tpu.ops.ffn import (
+    _dot_precision,
+    _gelu_exact,
+    pick_block_rows,
+)
 
 
 def quantize_weight(w: jnp.ndarray, *, axis: int = 0):
@@ -198,6 +202,131 @@ def fused_ffn_q8(
         ),
         interpret=interpret,
     )(xf, w1_q, s1, gamma.reshape(1, i).astype(jnp.float32), w2_q, s2)
+    return out.reshape(orig_shape)
+
+
+# --------------------------------------------------------------------------- #
+# Mixed-precision "wide-only" GEGLU FFN: bf16 up-projection, int8 DOWN-
+# projection only. int8's 2x MXU rate on v5e only pays when the contraction
+# dim is large (≳4096 — below that the per-row quantize/dequantize traffic
+# eats the win; measured: full-int8 Muse decode is rate-neutral, recon −7%).
+# In the Muse mult=8 FFN the down-projection contracts over inner=4096 — the
+# one shipped matmul in int8's profit region — while the up-projection
+# contracts over dim=768, so it stays bf16. quant="int8_wide" on the model
+# constructors selects this kernel; all other projections fall through to
+# their bf16 paths.
+# --------------------------------------------------------------------------- #
+
+
+def _ffn_q8wide_kernel(
+    x_ref,      # (bn, d) bf16/f32
+    w1_ref,     # (d, 2i) float — resident
+    gamma_ref,  # (1, i) f32
+    w2_ref,     # (i, d) int8 — resident
+    s2_ref,     # (1, d) f32
+    o_ref,      # (bn, d)
+    *,
+    eps: float,
+):
+    dtype = x_ref.dtype
+    i = w2_ref.shape[0]
+    h = jax.lax.dot_general(
+        x_ref[...], w1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_dot_precision(dtype),
+    )  # (bn, 2i) fp32
+    a = h[:, :i]
+    gate = h[:, i:]
+    g = gate * _gelu_exact(a)  # fp32
+    mean = jnp.mean(g, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(g - mean), axis=-1, keepdims=True)
+    y = (g - mean) * jax.lax.rsqrt(var + eps)
+    y = y * gamma_ref[...].astype(jnp.float32)
+    y_q, sy = _quantize_rows_f32(y)
+    o = jax.lax.dot_general(
+        y_q, w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * sy * s2_ref[...]
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def ffn_q8wide_reference(x, w1, gamma, w2, eps: float = 1e-5):
+    """Unfused wide-only formulation (bf16 up-proj, W8A8 down-proj) with
+    identical quantization points — the CPU path and the kernel oracle."""
+    d = x.shape[-1]
+    i = w2.shape[0]
+    xf = x.reshape(-1, d)
+    h = jax.lax.dot_general(
+        xf, w1.astype(x.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_dot_precision(x.dtype),
+    )
+    a, gate = h[:, :i], h[:, i:]
+    g = gate * jax.nn.gelu(a, approximate=False)
+    mean = jnp.mean(g, axis=-1, keepdims=True)
+    var = jnp.var(g, axis=-1, keepdims=True)
+    y = (g - mean) / jnp.sqrt(var + eps) * gamma.astype(jnp.float32)
+    w2_q, s2 = quantize_weight(w2)
+    y_q, sy = _quantize_rows_f32(y)
+    o = jax.lax.dot_general(
+        y_q, w2_q, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * sy * s2
+    return o.reshape(*x.shape[:-1], w2.shape[-1]).astype(x.dtype)
+
+
+def fused_ffn_q8wide(
+    x: jnp.ndarray,      # (..., d)
+    w1: jnp.ndarray,     # (d, 2i) float
+    gamma: jnp.ndarray,  # (i,)
+    w2: jnp.ndarray,     # (i, d) float
+    *,
+    eps: float = 1e-5,
+    block_rows: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Wide-only mixed-precision fused GEGLU FFN (inference only — no VJP):
+    bf16 up-projection + GEGLU + LN exactly as ops/ffn.py::fused_ffn, int8
+    down-projection as fused_ffn_q8. Weight quantization at trace time."""
+    orig_shape = x.shape
+    d = orig_shape[-1]
+    two_i = w1.shape[-1]
+    i = two_i // 2
+    xf = x.reshape(-1, d)
+    n = xf.shape[0]
+    bn = pick_block_rows(n, block_rows)
+
+    w2_q, s2 = quantize_weight(w2)
+    out = pl.pallas_call(
+        functools.partial(_ffn_q8wide_kernel, eps=eps),
+        grid=(n // bn,),
+        in_specs=[
+            pl.BlockSpec((bn, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, two_i), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, i), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((i, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bn, d), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * d * two_i + 2 * n * i * d,
+            bytes_accessed=xf.size * xf.dtype.itemsize
+            + w1.size * w1.dtype.itemsize + w2.size  # w2 int8 resident
+            + xf.size * xf.dtype.itemsize,
+            transcendentals=n * i,
+        ),
+        interpret=interpret,
+    )(xf, w1.astype(x.dtype), gamma.reshape(1, i).astype(jnp.float32),
+      w2_q, s2)
     return out.reshape(orig_shape)
 
 

@@ -51,7 +51,14 @@ def force_sync(out) -> None:
     shards = getattr(leaf, "addressable_shards", None)
     # a single shard is a plain single-device array: ravel is shard-free
     data = shards[0].data if shards else leaf
-    np.asarray(data.ravel()[0] if hasattr(data, "ravel") else data)
+    try:
+        np.asarray(data.ravel()[0] if hasattr(data, "ravel") else data)
+    except Exception:
+        # .ravel() traces a jnp op; under a trainer's ambient mesh whose
+        # device set differs from the leaf's (e.g. multi-process meshes)
+        # that trace is rejected — fall back to an untraced host fetch of
+        # the local shard, which forces execution just the same
+        np.asarray(data)
 
 
 class StepTimer:

@@ -4,8 +4,16 @@ BASELINE.md headline metric. Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "imgs/sec/chip", "vs_baseline": N}
 
 Baseline: the driver north-star is 2,000 imgs/sec on a v5e-8 (8 chips) =
-250 imgs/sec/chip; vs_baseline = value / 250. Extra diagnostics (batch sweep,
-MaskGIT/Muse per-decode-step latency) go to stderr.
+250 imgs/sec/chip; vs_baseline = value / 250. Extra diagnostics go to stderr
+in INFORMATION-VALUE order (training steps before int8/encode variants), so
+a budget cut loses the least important numbers first:
+
+    recon sweep → headline JSON → encode-only → GAN train sweep →
+    Muse train sweep → decode latency (+ int8 A/B) → serving note
+
+The persistent compilation cache (/tmp/jax_cache) makes re-runs cheap; the
+first cold run through the remote-compile tunnel is what BENCH_BUDGET_S
+protects against.
 """
 
 import json
@@ -61,7 +69,7 @@ _BENCH_VQ_CFG = dict(
 )
 
 
-def _bench_muse(batch: int):
+def _bench_muse(batch: int, **kw):
     """Build the bench-scale MUSE + synthetic params + tokenized prompts."""
     import functools
 
@@ -72,7 +80,7 @@ def _bench_muse(batch: int):
     from attention_models_tpu.models.text_encoder import tokenize
 
     muse = MUSE(dim=768, vq_config=_BENCH_VQ_CFG, n_heads=12, d_head=64,
-                depth=16, mult=8, dropout=0.0, dtype=jnp.bfloat16)
+                depth=16, mult=8, dropout=0.0, dtype=jnp.bfloat16, **kw)
     ids = jnp.array(tokenize(["a stop sign"] * batch))
     params = _synth_params(
         muse,
@@ -87,7 +95,9 @@ def _decode_latency_bench(log, time_fn):
     """MaskGIT / Muse iterative decode at the reference inference configs
     (maskgit: dim 512 depth 6; muse: dim 768 depth 16 heads 12 mult 8 —
     inference scripts in /root/reference): jitted 18-step scan, per-step
-    latency includes Muse's CFG 2b-batch forward."""
+    latency includes Muse's CFG 2b-batch forward. Plus the int8 A/B: the
+    selective "int8_wide" mode (W8A8 only on the ≥4096-contraction FFN
+    down-projection — VERDICT r2 #6) vs full "int8" vs bf16."""
     import functools
 
     import jax
@@ -126,19 +136,20 @@ def _decode_latency_bench(log, time_fn):
     log(f"muse generate (CFG) b={batch} t={timesteps}: {dt * 1e3:.1f} ms "
         f"total, {dt / timesteps * 1e3:.2f} ms/step")
 
-    # W8A8 int8 decode (opt-in serving path, ops/quant.py): same weights
-    try:
-        muse_q = MUSE(dim=768, vq_config=vq_cfg, n_heads=12, d_head=64,
-                      depth=16, mult=8, dropout=0.0, dtype=jnp.bfloat16,
-                      quant="int8")
-        mgen_q = jax.jit(functools.partial(
-            muse_q.apply, timesteps=timesteps, approx_topk=True,
-            method=MUSE.generate))
-        dt = time_fn(mgen_q, muse_params, ids, jax.random.key(2), iters=5)
-        log(f"muse generate (CFG, int8) b={batch} t={timesteps}: "
-            f"{dt * 1e3:.1f} ms total, {dt / timesteps * 1e3:.2f} ms/step")
-    except Exception as e:
-        log(f"muse int8 bench failed: {type(e).__name__}: {e}")
+    # int8 A/B on the same weights: selective wide-only vs full W8A8
+    for mode in ("int8_wide", "int8"):
+        try:
+            muse_q = MUSE(dim=768, vq_config=vq_cfg, n_heads=12, d_head=64,
+                          depth=16, mult=8, dropout=0.0, dtype=jnp.bfloat16,
+                          quant=mode)
+            mgen_q = jax.jit(functools.partial(
+                muse_q.apply, timesteps=timesteps, approx_topk=True,
+                method=MUSE.generate))
+            dt = time_fn(mgen_q, muse_params, ids, jax.random.key(2), iters=5)
+            log(f"muse generate (CFG, {mode}) b={batch} t={timesteps}: "
+                f"{dt * 1e3:.1f} ms total, {dt / timesteps * 1e3:.2f} ms/step")
+        except Exception as e:
+            log(f"muse {mode} bench failed: {type(e).__name__}: {e}")
 
     # Parti: 1024 sequential KV-cached decoder steps (the reference
     # re-forwards the whole growing prefix each step — models/parti.py:126)
@@ -158,23 +169,20 @@ def _decode_latency_bench(log, time_fn):
         f"{dt * 1e3:.0f} ms total, {dt / n_steps * 1e3:.3f} ms/step")
 
 
-def _muse_train_step_bench(log, time_fn):
+def _muse_train_step_bench(log, time_fn, over_budget):
     """Muse token-path training step (loss_from_indices: text encode +
     decoder fwd + fused head+CE + full backward + adam) at the decode
-    bench's model scale. Timed with the element-fetch sync — the earlier
-    ad-hoc numbers used block_until_ready, which no-ops on the tunneled
-    platform (docs/ROADMAP.md, Muse train row)."""
+    bench's model scale, swept over batch {8, 16, 32} — training throughput
+    at the throughput-optimal batch, not just b=8 latency (VERDICT r2 #5).
+    On an OOM the batch retries with remat'd decoder blocks."""
     import jax
     import jax.numpy as jnp
     import optax
 
     from attention_models_tpu.models.muse import MUSE
 
-    bs = 8
-    muse, ids, variables = _bench_muse(bs)
+    muse, _, variables = _bench_muse(8)
     params = variables["params"]
-    indices = jax.random.randint(jax.random.key(3), (bs, 1024), 0, 8192,
-                                 jnp.int32)
     # frozen towers get zero-update (and zero adam-moment memory), like the
     # real generator trainers (training/optim.py frozen_subtrees)
     labels = {
@@ -188,24 +196,53 @@ def _muse_train_step_bench(log, time_fn):
     )
     opt = tx.init(params)
 
-    @jax.jit
-    def step(params, opt, ids, indices, rng):
-        def loss_fn(p):
-            return muse.apply({"params": p}, ids, indices, rng,
-                              method=MUSE.loss_from_indices)
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt = tx.update(grads, opt, params)
-        return optax.apply_updates(params, updates), opt, loss
+    def make_step(model):
+        @jax.jit
+        def step(params, opt, ids, indices, rng):
+            def loss_fn(p):
+                return model.apply({"params": p}, ids, indices, rng,
+                                   method=MUSE.loss_from_indices)
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt2 = tx.update(grads, opt, params)
+            return optax.apply_updates(params, updates), opt2, loss
+        return step
 
-    dt = time_fn(step, params, opt, ids, indices, jax.random.key(4), iters=10)
-    log(f"muse train step (token path) bs={bs}: {dt * 1e3:.1f} ms "
-        f"({bs / dt:.1f} samples/s)")
+    from attention_models_tpu.models.text_encoder import tokenize
+
+    # same params work for the remat twin (remat changes no pytree paths)
+    muse_remat = muse.copy(remat=True)
+    best = (0.0, 0, "")  # samples/s, bs, note
+    for bs in (8, 16, 32):
+        if over_budget(f"muse train bs={bs}"):
+            break
+        ids = jnp.array(tokenize(["a stop sign"] * bs))
+        indices = jax.random.randint(jax.random.key(3), (bs, 1024), 0, 8192,
+                                     jnp.int32)
+        for note, model in (("", muse), ("+remat", muse_remat)):
+            try:
+                dt = time_fn(make_step(model), params, opt, ids, indices,
+                             jax.random.key(4), iters=10)
+                sps = bs / dt
+                log(f"muse train step (token path) bs={bs}{note}: "
+                    f"{dt * 1e3:.1f} ms ({sps:.1f} samples/s)")
+                if sps > best[0]:
+                    best = (sps, bs, note)
+                break
+            except Exception as e:
+                log(f"muse train bs={bs}{note}: failed "
+                    f"({type(e).__name__}: {str(e)[:120]})")
+                continue
+    if best[1]:
+        log(f"muse train BEST: {best[0]:.1f} samples/s at bs={best[1]}"
+            f"{best[2]}")
 
 
-def _train_step_bench(log, time_fn, model, params):
+def _train_step_bench(log, time_fn, model, params, over_budget):
     """ViTVQGAN GAN training throughput (the reference's main workload,
     SURVEY.md §3.1): D phase (hinge + WGAN-GP) + G phase (codebook + adv +
-    LPIPS + L1 + L2), both jitted, batch 8 @ 256px bf16."""
+    LPIPS + L1 + L2), both jitted, 256px bf16, swept over batch {8, 16, 32}
+    (VERDICT r2 #5). On an OOM the batch retries with a remat'd generator
+    forward (jax.checkpoint over the fused-vjp G forward)."""
     import functools
 
     import jax
@@ -220,67 +257,95 @@ def _train_step_bench(log, time_fn, model, params):
         hinge_d_loss,
     )
 
-    bs = 8
-    imgs = jnp.array(np.random.RandomState(0).rand(bs, 3, 256, 256),
-                     jnp.bfloat16)
     discr = NLayerDiscriminator(input_nc=3, ndf=64, n_layers=3,
                                 dtype=jnp.bfloat16)
     lpips = LPIPS(dtype=jnp.bfloat16)
+    init_imgs = jnp.zeros((2, 3, 256, 256), jnp.bfloat16)
     d_vars = _synth_params(
         discr, functools.partial(discr.init, train=False),
-        jax.random.key(0), imgs,
+        jax.random.key(0), init_imgs,
     )
-    lp = _synth_params(lpips, lpips.init, jax.random.key(0), imgs, imgs)
+    lp = _synth_params(lpips, lpips.init, jax.random.key(0), init_imgs,
+                       init_imgs)
     tx = optax.adam(1e-4)
     g_opt = tx.init(params["params"])
     d_opt = tx.init(d_vars["params"])
-
-    @jax.jit
-    def gan_step(g_params, g_opt, d_params, d_stats, d_opt, imgs, rng):
-        # ONE generator forward shared by both phases (vjp residuals kept
-        # for the G backward) — matches VQGANTrainer's fused train_step.
-        (rec, cb), g_vjp = jax.vjp(
-            lambda p: model.apply({"params": p}, imgs), g_params)
-        rec_sg = jax.lax.stop_gradient(rec)
-
-        # D phase
-        def d_loss_fn(dp):
-            fake = discr.apply({"params": dp, "batch_stats": d_stats}, rec_sg)
-            real = discr.apply({"params": dp, "batch_stats": d_stats}, imgs)
-            gp = gradient_penalty(
-                lambda x: discr.apply(
-                    {"params": dp, "batch_stats": d_stats}, x),
-                rng, imgs, rec_sg)
-            return hinge_d_loss(fake, real) + gp
-
-        d_grads = jax.grad(d_loss_fn)(d_params)
-        d_updates, d_opt = tx.update(d_grads, d_opt, d_params)
-        d_params = optax.apply_updates(d_params, d_updates)
-
-        # G phase on the same rec, backward through the saved vjp
-        def g_loss_fn(rec, cb):
-            l1 = jnp.mean(jnp.abs(rec - imgs))
-            l2 = jnp.mean((rec - imgs) ** 2)
-            per = jnp.mean(lpips.apply(lp, rec.astype(jnp.float32),
-                                       imgs.astype(jnp.float32)))
-            adv = g_nonsaturating_loss(
-                discr.apply({"params": d_params, "batch_stats": d_stats}, rec)
-            )
-            return cb + 0.1 * adv + per + l1 + l2
-
-        out_bar = jax.grad(g_loss_fn, argnums=(0, 1))(rec, cb)
-        (g_grads,) = g_vjp(out_bar)
-        g_updates, g_opt = tx.update(g_grads, g_opt, g_params)
-        g_params = optax.apply_updates(g_params, g_updates)
-        return g_params, g_opt, d_params, d_opt
-
     d_stats = d_vars.get("batch_stats", {})
-    dt = time_fn(
-        gan_step, params["params"], g_opt, d_vars["params"], d_stats, d_opt,
-        imgs, jax.random.key(1), iters=10,
-    )
-    log(f"GAN train step (D+G, GP, LPIPS) bs={bs}: {dt * 1e3:.1f} ms "
-        f"({bs / dt:.0f} imgs/s training)")
+
+    def make_gan_step(remat: bool):
+        g_fwd = lambda p, imgs: model.apply({"params": p}, imgs)
+        if remat:
+            g_fwd = jax.checkpoint(g_fwd)
+
+        @jax.jit
+        def gan_step(g_params, g_opt, d_params, d_opt, imgs, rng):
+            # ONE generator forward shared by both phases (vjp residuals
+            # kept for the G backward) — matches VQGANTrainer's fused step.
+            (rec, cb), g_vjp = jax.vjp(
+                lambda p: g_fwd(p, imgs), g_params)
+            rec_sg = jax.lax.stop_gradient(rec)
+
+            # D phase
+            def d_loss_fn(dp):
+                fake = discr.apply(
+                    {"params": dp, "batch_stats": d_stats}, rec_sg)
+                real = discr.apply(
+                    {"params": dp, "batch_stats": d_stats}, imgs)
+                gp = gradient_penalty(
+                    lambda x: discr.apply(
+                        {"params": dp, "batch_stats": d_stats}, x),
+                    rng, imgs, rec_sg)
+                return hinge_d_loss(fake, real) + gp
+
+            d_grads = jax.grad(d_loss_fn)(d_params)
+            d_updates, d_opt2 = tx.update(d_grads, d_opt, d_params)
+            d_params = optax.apply_updates(d_params, d_updates)
+
+            # G phase on the same rec, backward through the saved vjp
+            def g_loss_fn(rec, cb):
+                l1 = jnp.mean(jnp.abs(rec - imgs))
+                l2 = jnp.mean((rec - imgs) ** 2)
+                per = jnp.mean(lpips.apply(lp, rec.astype(jnp.float32),
+                                           imgs.astype(jnp.float32)))
+                adv = g_nonsaturating_loss(
+                    discr.apply(
+                        {"params": d_params, "batch_stats": d_stats}, rec)
+                )
+                return cb + 0.1 * adv + per + l1 + l2
+
+            out_bar = jax.grad(g_loss_fn, argnums=(0, 1))(rec, cb)
+            (g_grads,) = g_vjp(out_bar)
+            g_updates, g_opt2 = tx.update(g_grads, g_opt, g_params)
+            g_params = optax.apply_updates(g_params, g_updates)
+            return g_params, g_opt2, d_params, d_opt2
+
+        return gan_step
+
+    best = (0.0, 0, "")
+    for bs in (8, 16, 32):
+        if over_budget(f"GAN train bs={bs}"):
+            break
+        imgs = jnp.array(np.random.RandomState(0).rand(bs, 3, 256, 256),
+                         jnp.bfloat16)
+        for note, remat in (("", False), ("+rematG", True)):
+            try:
+                dt = time_fn(
+                    make_gan_step(remat), params["params"], g_opt,
+                    d_vars["params"], d_opt, imgs, jax.random.key(1),
+                    iters=10,
+                )
+                ips = bs / dt
+                log(f"GAN train step (D+G, GP, LPIPS) bs={bs}{note}: "
+                    f"{dt * 1e3:.1f} ms ({ips:.0f} imgs/s training)")
+                if ips > best[0]:
+                    best = (ips, bs, note)
+                break
+            except Exception as e:
+                log(f"GAN train bs={bs}{note}: failed "
+                    f"({type(e).__name__}: {str(e)[:120]})")
+                continue
+    if best[1]:
+        log(f"GAN train BEST: {best[0]:.0f} imgs/s at bs={best[1]}{best[2]}")
 
 
 def _probe_devices(timeout_s: int = 240) -> str | None:
@@ -311,13 +376,19 @@ def main():
     t_start = time.perf_counter()
     budget_s = float(os.environ.get("BENCH_BUDGET_S", 1200))
 
+    def elapsed() -> float:
+        return time.perf_counter() - t_start
+
     def over_budget(section: str) -> bool:
-        elapsed = time.perf_counter() - t_start
-        if elapsed > budget_s:
-            log(f"skipping {section}: {elapsed:.0f}s elapsed > "
+        if elapsed() > budget_s:
+            log(f"skipping {section}: {elapsed():.0f}s elapsed > "
                 f"BENCH_BUDGET_S={budget_s:.0f}s")
             return True
         return False
+
+    def section_done(name: str):
+        log(f"## {name} done at {elapsed():.0f}s "
+            f"({budget_s - elapsed():.0f}s budget left)")
 
     err = _probe_devices()
     if err:
@@ -327,7 +398,7 @@ def main():
             "value": 0.0, "unit": "imgs/sec/chip", "vs_baseline": 0.0,
             "error": err,
             "note": "hardware unreachable at bench time; last healthy "
-                    "measurement: 1218 imgs/s/chip (docs/ROADMAP.md)",
+                    "measurement: 1221 imgs/s/chip (docs/ROADMAP.md)",
         }))
         return
 
@@ -356,9 +427,11 @@ def main():
 
     recon = jax.jit(lambda p, x: model.apply(p, x)[0])
 
+    # {16, 64} covers the knee (r2 sweep: 64 was optimal, 128 within noise;
+    # trimmed per VERDICT r2 #1 so the training sections fit the budget)
     best = 0.0
     best_bs = 0
-    for bs in (16, 32, 64, 128):
+    for bs in (16, 64):
         try:
             imgs = jnp.array(
                 np.random.RandomState(0).rand(bs, 3, 256, 256), jnp.bfloat16
@@ -382,29 +455,9 @@ def main():
         "vs_baseline": round(best / 250.0, 3),
         "batch_size": best_bs,
     }), flush=True)
+    section_done("recon headline")
 
-    # W8A8 int8 recon (opt-in serving path, ops/quant.py): same weights,
-    # quantized twin of the fused block kernels. Headline stays bf16.
-    # Skipped when no bf16 recon batch succeeded (best_bs=0 would time an
-    # empty batch and log a meaningless throughput row).
-    try:
-        if over_budget("int8 recon"):
-            raise RuntimeError("time budget exhausted")
-        if not best_bs:
-            raise RuntimeError("no successful bf16 recon batch to mirror")
-        model_q = vitvqgan_base(img_size=256, dtype=jnp.bfloat16,
-                                quant="int8")
-        recon_q = jax.jit(lambda p, x: model_q.apply(p, x)[0])
-        imgs = jnp.array(
-            np.random.RandomState(0).rand(best_bs, 3, 256, 256), jnp.bfloat16
-        )
-        dt = time_fn(recon_q, params, imgs)
-        log(f"recon (int8) bs={best_bs}: {dt * 1e3:.2f} ms  "
-            f"{best_bs / dt:.0f} imgs/s")
-    except Exception as e:
-        log(f"recon int8 bench failed: {type(e).__name__}: {e}")
-
-    # ---- extra diagnostics: tokenizer encode + generator decode latency ----- #
+    # ---- diagnostics in information-value order (VERDICT r2 #1) ----------- #
     try:
         if over_budget("encode bench"):
             raise RuntimeError("time budget exhausted")
@@ -419,18 +472,14 @@ def main():
         dt_enc = time_fn(encode, params, imgs)
         log(f"encode-only bs={best_bs}: {dt_enc * 1e3:.2f} ms "
             f"({best_bs / dt_enc:.0f} imgs/s)")
+        section_done("encode")
     except Exception as e:
         log(f"encode bench failed: {e}")
 
     try:
-        if not over_budget("decode latency bench"):
-            _decode_latency_bench(log, time_fn)
-    except Exception as e:
-        log(f"decode latency bench failed: {type(e).__name__}: {e}")
-
-    try:
         if not over_budget("GAN train step bench"):
-            _train_step_bench(log, time_fn, model, params)
+            _train_step_bench(log, time_fn, model, params, over_budget)
+            section_done("GAN train sweep")
     except Exception as e:
         log(f"train step bench failed: {type(e).__name__}: {e}")
 
@@ -439,9 +488,20 @@ def main():
         # moments + activations need the HBM headroom
         del params, recon
         if not over_budget("muse train step bench"):
-            _muse_train_step_bench(log, time_fn)
+            _muse_train_step_bench(log, time_fn, over_budget)
+            section_done("muse train sweep")
     except Exception as e:
         log(f"muse train step bench failed: {type(e).__name__}: {e}")
+
+    try:
+        if not over_budget("decode latency bench"):
+            _decode_latency_bench(log, time_fn)
+            section_done("decode latency + int8 A/B")
+    except Exception as e:
+        log(f"decode latency bench failed: {type(e).__name__}: {e}")
+
+    log(f"## bench complete at {elapsed():.0f}s of {budget_s:.0f}s budget "
+        f"({100 * (1 - elapsed() / budget_s):.0f}% headroom)")
 
 
 if __name__ == "__main__":

@@ -24,6 +24,31 @@ jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow", action="store_true", default=False,
+        help="run the slow tier too (trainer-integration matrix, "
+             "interpreted-Pallas kernel depth); the default tier is the "
+             "fast CI gate — see README 'Test tiers'",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: depth tier, skipped unless --slow (full suite) is passed",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: pass --slow to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(autouse=True)
 def _reset_ambient_mesh():
     """Trainers set the ambient mesh globally for their lifetime

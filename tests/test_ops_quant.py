@@ -97,6 +97,70 @@ def test_ffn_q8_accuracy_vs_fp32():
     assert cos > 0.999, cos
 
 
+def test_fused_ffn_q8wide_matches_unfused_reference():
+    """Wide-only mixed kernel (bf16 up-proj, int8 down-proj) vs its
+    unfused oracle."""
+    from attention_models_tpu.ops.quant import (
+        ffn_q8wide_reference,
+        fused_ffn_q8wide,
+    )
+
+    rs = np.random.RandomState(8)
+    d, inner, n = 128, 256, 64
+    x = jnp.asarray(rs.standard_normal((2, n // 2, d)), jnp.float32)
+    w1 = jnp.asarray(0.05 * rs.standard_normal((d, 2 * inner)), jnp.float32)
+    gamma = jnp.asarray(rs.uniform(0.5, 1.5, (inner,)), jnp.float32)
+    w2 = jnp.asarray(0.05 * rs.standard_normal((inner, d)), jnp.float32)
+
+    got = fused_ffn_q8wide(x, w1, gamma, w2, interpret=True)
+    want = ffn_q8wide_reference(x, w1, gamma, w2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ffn_q8wide_closer_to_fp32_than_full_q8():
+    """int8 only on the down-projection must be MORE accurate than the
+    full-int8 FFN (one quantized matmul instead of two), and still
+    directionally faithful to fp32."""
+    from attention_models_tpu.ops.quant import ffn_q8wide_reference
+
+    rs = np.random.RandomState(9)
+    d, inner, n = 128, 256, 64
+    x = jnp.asarray(rs.standard_normal((n, d)), jnp.float32)
+    w1 = jnp.asarray(0.05 * rs.standard_normal((d, 2 * inner)), jnp.float32)
+    gamma = jnp.asarray(rs.uniform(0.5, 1.5, (inner,)), jnp.float32)
+    w2 = jnp.asarray(0.05 * rs.standard_normal((inner, d)), jnp.float32)
+
+    fp32 = np.asarray(_ffn_reference(x, w1, gamma, w2, 1e-5)).ravel()
+    wide = np.asarray(ffn_q8wide_reference(x, w1, gamma, w2)).ravel()
+    full = np.asarray(_ffn_q8_reference(x, w1, gamma, w2, 1e-5)).ravel()
+    err_wide = np.abs(wide - fp32).mean()
+    err_full = np.abs(full - fp32).mean()
+    assert err_wide < err_full, (err_wide, err_full)
+    cos = (wide * fp32).sum() / (np.linalg.norm(wide) * np.linalg.norm(fp32))
+    assert cos > 0.9995, cos
+
+
+def test_feedforward_int8_wide_mode():
+    """quant='int8_wide' on the flax FeedForward: runs, finite, and closer
+    to the bf16 module output than quant='int8'."""
+    from attention_models_tpu.models.layers import FeedForward
+
+    rs = np.random.RandomState(10)
+    x = jnp.asarray(rs.standard_normal((2, 16, 128)), jnp.float32)
+    ff = FeedForward(dim=128, mult=3.0)
+    params = ff.init(jax.random.key(0), x)
+    base = np.asarray(ff.apply(params, x)).ravel()
+    wide = np.asarray(
+        FeedForward(dim=128, mult=3.0, quant="int8_wide").apply(params, x)
+    ).ravel()
+    full = np.asarray(
+        FeedForward(dim=128, mult=3.0, quant="int8").apply(params, x)
+    ).ravel()
+    assert np.isfinite(wide).all()
+    assert np.abs(wide - base).mean() < np.abs(full - base).mean()
+
+
 def test_fused_ln_mlp_q8_matches_unfused_reference():
     from attention_models_tpu.ops.quant import (
         fused_ln_mlp_q8,
