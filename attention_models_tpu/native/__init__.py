@@ -83,13 +83,23 @@ def _load_lib():
     return lib
 
 
+def _is_stale() -> bool:
+    """The .so is older than its source — never trust a stale binary (the
+    library is built from source on demand and is NOT checked into git)."""
+    src = os.path.join(_NATIVE_DIR, "fast_image.cpp")
+    try:
+        return os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)
+    except OSError:
+        return False
+
+
 def load_fast_image():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
     try:
-        if os.path.exists(_LIB_PATH):
+        if os.path.exists(_LIB_PATH) and not _is_stale():
             try:
                 _LIB = _load_lib()
                 return _LIB

@@ -2,6 +2,7 @@
 against cv2 INTER_LINEAR (same sample-based bilinear), crop/flip/normalize vs
 numpy."""
 
+import os
 import numpy as np
 import pytest
 
@@ -165,3 +166,22 @@ def test_batch_transform_accepts_bytes(tmp_path):
     # bytes NOTHING can decode raise cleanly (PIL's error), not segfault
     with pytest.raises(Exception):
         bt([b"not an image at all"])
+
+
+def test_stale_binary_detected_by_mtime():
+    """A .so older than fast_image.cpp must be treated as stale (the
+    loader rebuilds from source rather than trusting a leftover binary;
+    the library is never checked into git)."""
+    import attention_models_tpu.native as native
+
+    if not os.path.exists(native._LIB_PATH):
+        pytest.skip("native library not built (no compiler?)")
+    src = os.path.join(native._NATIVE_DIR, "fast_image.cpp")
+    lib_m = os.path.getmtime(native._LIB_PATH)
+    assert not native._is_stale()
+    os.utime(native._LIB_PATH, (lib_m, os.path.getmtime(src) - 10))
+    try:
+        assert native._is_stale()
+    finally:
+        os.utime(native._LIB_PATH, (lib_m, lib_m))
+    assert not native._is_stale()
