@@ -1,0 +1,362 @@
+"""Slot-based continuous batching for autoregressive (Parti) serving.
+
+The bucket engine (serving.py::BatchedInferenceEngine + parti_service) has
+head-of-line blocking for AR decode: requests co-batched into a bucket wait
+for the FULL ``num_patches``-step decode of the batch, and nothing can join
+mid-decode — a request arriving just after a dispatch waits up to one whole
+decode (~seconds) before its first token. Production AR serving (vLLM-style)
+instead keeps a fixed set of KV-cache SLOTS stepping forever and admits a
+new request into any free slot at a step boundary.
+
+This module is that engine, TPU-shaped:
+
+- The decoder steps ALL slots together as one jitted program (one compile,
+  static shapes). A slot is one row of every cache leaf; per-slot state
+  (cache, cache_index, position, seed) lives under a leading slot axis via
+  ``jax.vmap`` over the single-request decode step — each slot carries its
+  OWN ``cache_index``, so slots at different decode depths coexist in one
+  batch.
+- The host admits/retires only at CHUNK boundaries (``chunk_steps`` decoder
+  steps per jitted call, default 64): a per-step host round-trip would
+  serialize dispatch (the device idles while the host decides), so admission
+  latency is traded off at ~chunk_steps × step-time (≈50 ms at the reference
+  scale) instead of a full decode (≈900 ms) — a bounded, documented window.
+- Sampling keys are ``fold_in(fold_in(base, request_seed), position)`` —
+  a request's image is a pure function of (text, seed), independent of
+  which slot it lands in or what traffic it shares the engine with
+  (batch-invariant; tested alone-vs-congested).
+- Classifier-free guidance folds the null stream into the slot's inner
+  batch (each slot decodes a (2, 1, dim) token pair), so CFG slots and the
+  engine logic are identical.
+
+The reference has no serving at all (per-image scripts,
+/root/reference/inference/muse.py:36-86); serving.py's bucket engine remains
+the right runtime for the fixed-step iterative decoders (Muse/MaskGIT),
+where every request takes the same 18 steps and HOL blocking is bounded by
+one step group.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from collections import deque
+from concurrent.futures import Future
+from dataclasses import dataclass
+
+
+import numpy as np
+
+from attention_models_tpu.serving import ServingError
+
+
+@dataclass
+class _Request:
+    text_ids: np.ndarray
+    seed: int
+    future: Future
+    t_submit: float
+
+
+class PartiSlotEngine:
+    """Continuous-batching AR engine over :class:`models.parti.Parti`.
+
+    Parameters
+    ----------
+    model, variables:
+        The Parti module and its variables (params).
+    slots:
+        Number of resident KV-cache slots (= max concurrent decodes).
+        Compile-time constant; HBM cost is one KV cache per slot.
+    chunk_steps:
+        Decoder steps per jitted call between host admission points.
+    filter_p / approx_topk / guidance_scale:
+        Sampling knobs, as :func:`models.parti.parti_generate`.
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        *,
+        slots: int = 4,
+        chunk_steps: int = 64,
+        filter_p: float = 0.9,
+        approx_topk: bool = True,
+        guidance_scale: float = 0.0,
+        max_queue: int = 1024,
+        autostart: bool = True,
+        name: str = "parti-slots",
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from attention_models_tpu.models.parti import Parti
+        from attention_models_tpu.models.vq_common import vq_num_patches
+        from attention_models_tpu.ops.sampling import (
+            filter_logits,
+            gumbel_argmax,
+        )
+
+        if slots <= 0 or chunk_steps <= 0:
+            raise ValueError(f"bad slots={slots} / chunk_steps={chunk_steps}")
+        self.model = model
+        self.variables = variables
+        self.slots = int(slots)
+        self.chunk_steps = int(chunk_steps)
+        self.name = name
+        self._n = vq_num_patches(model.vq_config)
+        cfg_on = bool(guidance_scale)
+        sb = 2 if cfg_on else 1  # per-slot inner stream batch (cond [+ null])
+
+        self._q: "queue.Queue[_Request]" = queue.Queue(maxsize=int(max_queue))
+        self._closed = False
+        self._thread: threading.Thread | None = None
+        self._owners: list[_Request | None] = [None] * self.slots
+        self._lock = threading.Lock()
+        self._stats = {"requests": 0, "chunks": 0, "errors": 0,
+                       "slot_steps": 0, "active_slot_steps": 0}
+        self._latencies: deque = deque(maxlen=2048)
+
+        n = self._n
+        base_key = jax.random.key(0)
+
+        # ---- build the initial (all-idle) state ---------------------------- #
+        dummy_ids = jnp.zeros((1, model.max_length), jnp.int32)
+        ctx0 = model.apply(variables, dummy_ids, method=Parti.prepare_context)
+        ctx0 = jnp.concatenate([ctx0] * sb, axis=0)  # (sb, L, W)
+        tok0 = model.apply(variables, sb, method=Parti.start_embed)
+        _, vars0 = model.apply(
+            variables, tok0, ctx0, method=Parti.decode_step, mutable=["cache"]
+        )
+        cache0 = jax.tree.map(jnp.zeros_like, vars0["cache"])
+
+        self._state = {
+            "cache": jax.tree.map(
+                lambda x: jnp.zeros((self.slots,) + x.shape, x.dtype), cache0
+            ),
+            "ctx": jnp.zeros((self.slots,) + ctx0.shape, ctx0.dtype),
+            "tok": jnp.zeros((self.slots,) + tok0.shape, tok0.dtype),
+            # pos == n means idle/done; fresh slots start done
+            "pos": jnp.full((self.slots,), n, jnp.int32),
+            "seed": jnp.zeros((self.slots,), jnp.int32),
+            "indices": jnp.zeros((self.slots, n), jnp.int32),
+        }
+
+        pe = model.apply(variables, method=lambda m: m.pos_enc.pe_table())
+        start = model.apply(variables, sb, method=Parti.start_embed)
+
+        # ---- jitted programs ------------------------------------------------ #
+        @jax.jit
+        def admit(state, slot, text_ids, seed):
+            """Install one request into ``slot``: fresh context, zeroed
+            cache rows, position 0, start-token input."""
+            ctx = model.apply(variables, text_ids[None],
+                              method=Parti.prepare_context)  # (1, L, W)
+            if cfg_on:
+                ctx = jnp.concatenate([ctx, jnp.zeros_like(ctx)], axis=0)
+            hot = jax.nn.one_hot(slot, self.slots, dtype=jnp.bool_)
+
+            def clear(c):
+                mask = hot.reshape((self.slots,) + (1,) * (c.ndim - 1))
+                return jnp.where(mask, jnp.zeros_like(c), c)
+
+            return {
+                "cache": jax.tree.map(clear, state["cache"]),
+                "ctx": state["ctx"].at[slot].set(ctx.astype(state["ctx"].dtype)),
+                "tok": state["tok"].at[slot].set(start),
+                "pos": state["pos"].at[slot].set(0),
+                "seed": state["seed"].at[slot].set(seed),
+                "indices": state["indices"].at[slot].set(0),
+            }
+
+        def slot_step(cache, tok, ctx, seed, pos):
+            """One decoder step for ONE slot (inner batch sb)."""
+            logits, upd = model.apply(
+                {**variables, "cache": cache}, tok, ctx,
+                method=Parti.decode_step, mutable=["cache"],
+            )
+            last = logits[:, -1, :]
+            if cfg_on:
+                cond, null = last[:1], last[1:]
+                last = null + guidance_scale * (cond - null)
+            key = jax.random.fold_in(jax.random.fold_in(base_key, seed), pos)
+            nxt = gumbel_argmax(
+                key, filter_logits(last[:1], filter_p, approx=approx_topk),
+                1.0,
+            )  # (1,)
+            # the token just generated is output index ``pos`` → pe[pos]
+            # (same table position as _parti_run's body at loop counter i)
+            emb = model.apply(variables, nxt[:, None],
+                              method=lambda m, ix: m.token_emb(ix))
+            emb = emb + pe[jnp.minimum(pos, n - 1)][None, None, :].astype(
+                emb.dtype
+            )
+            tok_next = (jnp.concatenate([emb, emb], axis=0)
+                        if cfg_on else emb)
+            return upd["cache"], tok_next, nxt[0]
+
+        @jax.jit
+        def run_chunk(state):
+            def body(_, st):
+                active = st["pos"] < n
+                cache, tok, nxt = jax.vmap(slot_step)(
+                    st["cache"], st["tok"], st["ctx"], st["seed"], st["pos"]
+                )
+                # done slots: freeze everything (their step computed garbage)
+                def keep(new, old):
+                    mask = active.reshape(
+                        (self.slots,) + (1,) * (new.ndim - 1))
+                    return jnp.where(mask, new, old)
+
+                cache = jax.tree.map(keep, cache, st["cache"])
+                tok = keep(tok, st["tok"])
+                pidx = jnp.minimum(st["pos"], n - 1)
+                cur = jnp.take_along_axis(
+                    st["indices"], pidx[:, None], axis=1)[:, 0]
+                val = jnp.where(active, nxt, cur)
+                indices = jax.vmap(
+                    lambda row, v, p: jax.lax.dynamic_update_slice(
+                        row, v[None], (p,))
+                )(st["indices"], val, pidx)
+                pos = jnp.where(active, st["pos"] + 1, st["pos"])
+                return {**st, "cache": cache, "tok": tok,
+                        "indices": indices, "pos": pos}
+
+            return jax.lax.fori_loop(0, self.chunk_steps, body, state)
+
+        @jax.jit
+        def vq_decode(indices_row):
+            return model.apply(
+                variables, indices_row[None],
+                method=lambda m, ix: m.vq.decode_indices(ix),
+            )[0]
+
+        self._admit = admit
+        self._run_chunk = run_chunk
+        self._vq_decode = vq_decode
+        if autostart:
+            self.start()
+
+    # ------------------------------------------------------------- lifecycle
+    def start(self):
+        if self._thread is not None:
+            return
+        self._thread = threading.Thread(
+            target=self._loop, name=f"{self.name}-loop", daemon=True,
+        )
+        self._thread.start()
+
+    def close(self, timeout: float | None = 120.0):
+        """Stop accepting work, drain queued + in-flight requests."""
+        self._closed = True
+        if self._thread is not None:
+            self._thread.join(timeout=timeout)
+            self._thread = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # --------------------------------------------------------------- submit
+    def submit(self, text_ids: np.ndarray, seed: int = 0) -> Future:
+        """Enqueue one request. ``text_ids``: (max_length,) int32 (see
+        text_encoder.tokenize). Future resolves to one (3, H, W) image."""
+        if self._closed:
+            raise ServingError("submit() after close()")
+        fut: Future = Future()
+        try:
+            self._q.put_nowait(_Request(
+                np.asarray(text_ids, np.int32), int(seed), fut,
+                time.perf_counter(),
+            ))
+        except queue.Full:
+            raise ServingError(
+                f"queue full ({self._q.maxsize} requests waiting)"
+            ) from None
+        return fut
+
+    def __call__(self, text_ids, seed: int = 0, timeout: float = 600.0):
+        return self.submit(text_ids, seed).result(timeout=timeout)
+
+    def warmup(self) -> None:
+        """Compile admit / chunk / decode before traffic arrives."""
+        st = self._admit(self._state, 0,
+                         np.zeros((self.model.max_length,), np.int32), 0)
+        st = self._run_chunk(st)
+        np.asarray(self._vq_decode(st["indices"][0]))
+
+    # ---------------------------------------------------------------- stats
+    def stats(self) -> dict:
+        with self._lock:
+            s = dict(self._stats)
+            lat = sorted(self._latencies)
+        if lat:
+            s["latency_p50_ms"] = 1e3 * lat[len(lat) // 2]
+            s["latency_p95_ms"] = 1e3 * lat[min(len(lat) - 1,
+                                                int(0.95 * len(lat)))]
+        if s["slot_steps"]:
+            s["slot_occupancy"] = s["active_slot_steps"] / s["slot_steps"]
+        return s
+
+    # ------------------------------------------------------------ scheduler
+    def _loop(self):
+        n = self._n
+        state = self._state
+        while True:
+            # retire finished slots (fetch pos once per chunk)
+            pos = np.asarray(state["pos"])
+            for s in range(self.slots):
+                req = self._owners[s]
+                if req is None or pos[s] < n:
+                    continue
+                try:
+                    img = np.asarray(self._vq_decode(state["indices"][s]))
+                    if not req.future.cancelled():
+                        req.future.set_result(img)
+                    with self._lock:
+                        self._stats["requests"] += 1
+                        self._latencies.append(
+                            time.perf_counter() - req.t_submit)
+                except Exception as e:  # noqa: BLE001
+                    with self._lock:
+                        self._stats["errors"] += 1
+                    if not req.future.cancelled():
+                        req.future.set_exception(e)
+                self._owners[s] = None
+
+            # admit new requests into free slots
+            for s in range(self.slots):
+                if self._owners[s] is not None:
+                    continue
+                try:
+                    req = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                state = self._admit(state, s, req.text_ids, req.seed)
+                self._owners[s] = req
+
+            n_active = sum(o is not None for o in self._owners)
+            if n_active == 0:
+                if self._closed:
+                    self._state = state
+                    return
+                # idle: block briefly on the queue instead of spinning
+                try:
+                    req = self._q.get(timeout=0.05)
+                except queue.Empty:
+                    continue
+                state = self._admit(state, 0, req.text_ids, req.seed)
+                self._owners[0] = req
+                n_active = 1
+
+            state = self._run_chunk(state)
+            with self._lock:
+                self._stats["chunks"] += 1
+                self._stats["slot_steps"] += self.slots * self.chunk_steps
+                self._stats["active_slot_steps"] += (
+                    n_active * self.chunk_steps
+                )

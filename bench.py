@@ -47,6 +47,20 @@ def time_fn(fn, *args, iters=20, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
+def _reclaim():
+    """Drop dead device buffers between sections: collect Python refs AND
+    clear jit caches (compiled executables pin their constant buffers). A
+    bs=32 OOM attempt in one section otherwise leaves the next section's
+    fresh compiles RESOURCE_EXHAUSTED (seen in the r3 warm-cache run)."""
+    import gc
+
+    import jax
+
+    gc.collect()
+    jax.clear_caches()
+    gc.collect()
+
+
 def _synth_params(model, init_fn, *init_args):
     import jax
     import jax.numpy as jnp
@@ -218,6 +232,7 @@ def _muse_train_step_bench(log, time_fn, over_budget):
         ids = jnp.array(tokenize(["a stop sign"] * bs))
         indices = jax.random.randint(jax.random.key(3), (bs, 1024), 0, 8192,
                                      jnp.int32)
+        ran = False
         for note, model in (("", muse), ("+remat", muse_remat)):
             try:
                 dt = time_fn(make_step(model), params, opt, ids, indices,
@@ -227,11 +242,15 @@ def _muse_train_step_bench(log, time_fn, over_budget):
                     f"{dt * 1e3:.1f} ms ({sps:.1f} samples/s)")
                 if sps > best[0]:
                     best = (sps, bs, note)
+                ran = True
                 break
             except Exception as e:
                 log(f"muse train bs={bs}{note}: failed "
                     f"({type(e).__name__}: {str(e)[:120]})")
+                _reclaim()
                 continue
+        if not ran:  # plain AND remat OOM'd: larger batches will too
+            break
     if best[1]:
         log(f"muse train BEST: {best[0]:.1f} samples/s at bs={best[1]}"
             f"{best[2]}")
@@ -327,6 +346,7 @@ def _train_step_bench(log, time_fn, model, params, over_budget):
             break
         imgs = jnp.array(np.random.RandomState(0).rand(bs, 3, 256, 256),
                          jnp.bfloat16)
+        ran = False
         for note, remat in (("", False), ("+rematG", True)):
             try:
                 dt = time_fn(
@@ -339,11 +359,15 @@ def _train_step_bench(log, time_fn, model, params, over_budget):
                     f"{dt * 1e3:.1f} ms ({ips:.0f} imgs/s training)")
                 if ips > best[0]:
                     best = (ips, bs, note)
+                ran = True
                 break
             except Exception as e:
                 log(f"GAN train bs={bs}{note}: failed "
                     f"({type(e).__name__}: {str(e)[:120]})")
+                _reclaim()
                 continue
+        if not ran:
+            break
     if best[1]:
         log(f"GAN train BEST: {best[0]:.0f} imgs/s at bs={best[1]}{best[2]}")
 
@@ -487,6 +511,7 @@ def main():
         # free the recon/encode buffers first — the training step's adam
         # moments + activations need the HBM headroom
         del params, recon
+        _reclaim()
         if not over_budget("muse train step bench"):
             _muse_train_step_bench(log, time_fn, over_budget)
             section_done("muse train sweep")
@@ -494,6 +519,7 @@ def main():
         log(f"muse train step bench failed: {type(e).__name__}: {e}")
 
     try:
+        _reclaim()
         if not over_budget("decode latency bench"):
             _decode_latency_bench(log, time_fn)
             section_done("decode latency + int8 A/B")

@@ -252,12 +252,48 @@ def main():
     ap.add_argument("--timesteps", type=int, default=18)
     ap.add_argument("--guidance-scale", type=float, default=None)
     ap.add_argument("--approx-topk", action="store_true")
-    ap.add_argument("--quant", default=None, choices=["int8"])
+    ap.add_argument("--quant", default=None, choices=["int8", "int8_wide"])
+    ap.add_argument("--continuous", action="store_true",
+                    help="parti only: slot-based continuous batching "
+                         "(serving_ar.PartiSlotEngine) — admits a request "
+                         "into a free KV-cache slot at any chunk boundary "
+                         "instead of waiting for a full bucket decode")
+    ap.add_argument("--slots", type=int, default=4,
+                    help="resident KV-cache slots for --continuous")
+    ap.add_argument("--chunk-steps", type=int, default=64,
+                    help="decoder steps between admission points "
+                         "for --continuous")
     args = ap.parse_args()
 
     from attention_models_tpu.serving import BatchedInferenceEngine
 
     model, variables, run_batch = build_service(args)
+    if args.continuous:
+        if args.model != "parti":
+            raise SystemExit("--continuous is the AR (parti) engine")
+        from attention_models_tpu.serving_ar import PartiSlotEngine
+
+        engine = PartiSlotEngine(
+            model, variables, slots=args.slots, chunk_steps=args.chunk_steps,
+            approx_topk=args.approx_topk,
+            guidance_scale=args.guidance_scale or 0.0,
+        )
+        if args.warmup:
+            print("warming up slot engine", flush=True)
+            t0 = __import__("time").perf_counter()
+            engine.warmup()
+            print(f"warmup done in "
+                  f"{__import__('time').perf_counter() - t0:.1f}s", flush=True)
+        try:
+            if args.port:
+                run_http_mode(engine, args)
+            elif args.prompts:
+                run_file_mode(engine, args)
+            else:
+                raise SystemExit("pass --prompts FILE or --port N")
+        finally:
+            engine.close()
+        return
     buckets = tuple(int(b) for b in args.bucket_sizes.split(","))
     engine = BatchedInferenceEngine(run_batch, bucket_sizes=buckets,
                                     max_wait_ms=args.max_wait_ms,
