@@ -56,6 +56,16 @@ def vgg_fid_features(lpips_params, imgs, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.mean(taps[-1], axis=(1, 2))
 
 
+def inception_fid_features(variables, imgs) -> jnp.ndarray:
+    """(b, 2048) InceptionV3 pool3 features — the PUBLISHED FID feature
+    space, available once a pytorch-fid/torchvision inception checkpoint is
+    converted (utils/torch_convert.convert_inception_fid; the offline
+    default is the VGG stand-in above). ``imgs``: NCHW in [0, 1]."""
+    from attention_models_tpu.models.inception import InceptionV3Features
+
+    return InceptionV3Features().apply(variables, imgs)
+
+
 def feature_stats(feats):
     """(mu, cov) of an (n, d) feature matrix in float64 (host numpy)."""
     import numpy as np

@@ -21,6 +21,8 @@ import numpy as np
 
 def state_dict_to_numpy(sd) -> dict[str, np.ndarray]:
     def to_np(v):
+        if isinstance(v, np.ndarray):  # already host (e.g. test stand-ins)
+            return v
         v = v.detach().cpu()
         if str(v.dtype) == "torch.bfloat16":  # Tensor.numpy() rejects bf16
             v = v.float()
@@ -385,3 +387,55 @@ def convert_vgg16_lpips(vgg_sd: Mapping, lin_sd: Mapping | None = None) -> dict:
                 "kernel": np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
             }
     return out
+
+
+def convert_inception_fid(sd: Mapping) -> dict:
+    """pytorch-fid / torchvision ``inception_v3`` state_dict ->
+    models/inception.InceptionV3Features variables ``{"params": ...,
+    "batch_stats": ...}``. Every ``*.conv.weight`` key defines one
+    BasicConv2d; ``fc`` and ``AuxLogits`` are feature-irrelevant and
+    skipped. Raises KeyError listing any leftover unconsumed keys so a
+    schema drift in a future artifact is loud, not silent."""
+    sd = state_dict_to_numpy(sd)
+    params: dict = {}
+    stats: dict = {}
+    consumed = set()
+
+    def nest(root, path):
+        node = root
+        for part in path:
+            node = node.setdefault(part, {})
+        return node
+
+    for key in sd:
+        if not key.endswith(".conv.weight"):
+            continue
+        mod = key[: -len(".conv.weight")]          # e.g. Mixed_5b.branch1x1
+        if mod.startswith(("fc", "AuxLogits")):
+            continue
+        path = mod.split(".")
+        w = sd[f"{mod}.conv.weight"]               # (out, in, kh, kw)
+        nest(params, path)["conv"] = {
+            "kernel": np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+        }
+        nest(params, path)["bn"] = {
+            "scale": sd[f"{mod}.bn.weight"],
+            "bias": sd[f"{mod}.bn.bias"],
+        }
+        nest(stats, path)["bn"] = {
+            "mean": sd[f"{mod}.bn.running_mean"],
+            "var": sd[f"{mod}.bn.running_var"],
+        }
+        consumed.update({
+            f"{mod}.conv.weight", f"{mod}.bn.weight", f"{mod}.bn.bias",
+            f"{mod}.bn.running_mean", f"{mod}.bn.running_var",
+        })
+    leftovers = [
+        k for k in sd
+        if k not in consumed
+        and not k.startswith(("fc.", "AuxLogits."))
+        and not k.endswith("num_batches_tracked")
+    ]
+    if leftovers:
+        raise KeyError(f"unconsumed inception keys: {sorted(leftovers)[:8]}")
+    return {"params": params, "batch_stats": stats}

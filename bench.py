@@ -226,7 +226,13 @@ def _muse_train_step_bench(log, time_fn, over_budget):
     # same params work for the remat twin (remat changes no pytree paths)
     muse_remat = muse.copy(remat=True)
     best = (0.0, 0, "")  # samples/s, bs, note
-    for bs in (8, 16, 32):
+    # bs=32 OOMs at this scale (adam moments + activations) even with remat,
+    # and the experimental tunneled backend does NOT reliably return HBM
+    # after an execution OOM — in the r3 runs a bs=32 probe left every later
+    # section RESOURCE_EXHAUSTED despite gc+clear_caches. Don't probe it in
+    # the driver bench; bs=16 is the measured throughput optimum (67/s,
+    # near-linear from bs=8 ⇒ compute-bound).
+    for bs in (8, 16):
         if over_budget(f"muse train bs={bs}"):
             break
         ids = jnp.array(tokenize(["a stop sign"] * bs))

@@ -1,0 +1,144 @@
+"""End-to-end test of tools/golden_run.py with synthetic stand-in
+checkpoints (VERDICT r2 #9): a reference-schema ViTVQGAN .pt (built from the
+live torch reference), an HF-schema CLIP text state_dict, a
+torchvision-schema VGG16 (+ LPIPS lin heads), and a torchvision-schema
+InceptionV3 — all randomly initialized. The tool must discover each by key
+sniffing, convert it, run its fidelity protocol, and report sane numbers
+(index-match 1.0 against the very checkpoint the stand-in was saved from).
+
+When the REAL artifacts land, the same command closes the golden-fidelity
+gap — this test proves the whole path works before they do.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # builds 4 torch/flax towers; several minutes
+
+torch = pytest.importorskip("torch")
+
+
+def _make_vitvqgan_pt(path, img_size=64):
+    import torch.nn as nn
+
+    from ref_loader import load_ref_module
+
+    ref = load_ref_module("models.vitvqgan")
+
+    def _ff(dim, mlp_dim):
+        hidden = (int(mlp_dim * 2 / 3) + 7) // 8 * 8
+        return nn.Sequential(nn.Linear(dim, hidden), nn.GELU(),
+                             nn.Linear(hidden, dim))
+
+    ref.FeedForward = _ff
+    torch.manual_seed(0)
+    vit_params = dict(dim=512, img_size=img_size, patch_size=8, n_heads=8,
+                      d_head=64, depth=6, mlp_dim=2048, dropout=0.0)
+    m = ref.ViTVQGAN(vit_params,
+                     dict(codebook_dim=32, codebook_size=8192)).eval()
+    torch.save({"state_dict": m.state_dict()}, path)
+
+
+def _make_clip_bin(path):
+    from transformers import CLIPTextConfig, CLIPTextModel
+
+    torch.manual_seed(1)
+    cfg = CLIPTextConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=2, max_position_embeddings=16,
+        intermediate_size=256, hidden_act="quick_gelu",
+    )
+    torch.save(CLIPTextModel(cfg).state_dict(), path)
+
+
+def _make_vgg_pth(path, lin_path):
+    conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    chans = [64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512]
+    rs = np.random.RandomState(2)
+    sd = {}
+    cin = 3
+    for ti, cout in zip(conv_idx, chans):
+        sd[f"features.{ti}.weight"] = torch.tensor(
+            0.05 * rs.standard_normal((cout, cin, 3, 3)), dtype=torch.float32)
+        sd[f"features.{ti}.bias"] = torch.zeros(cout)
+        cin = cout
+    torch.save(sd, path)
+    taps = [64, 128, 256, 512, 512]
+    lins = {
+        f"lin{k}.model.1.weight": torch.tensor(
+            np.abs(rs.standard_normal((1, c, 1, 1))), dtype=torch.float32)
+        for k, c in enumerate(taps)
+    }
+    torch.save(lins, lin_path)
+
+
+def _make_inception_pth(path):
+    import jax
+
+    from attention_models_tpu.models.inception import InceptionV3Features
+    from test_inception import _to_torch_sd
+
+    v = InceptionV3Features().init(
+        jax.random.key(0), np.zeros((1, 3, 64, 64), np.float32))
+    # flax-default conv init collapses the signal to input-independent
+    # constants by Mixed_7 (94 relu'd convs deep) — He-scale the synthetic
+    # weights so the stand-in's pool3 features actually depend on the input
+    # and the FID smoke numbers are meaningful
+    rs = np.random.RandomState(3)
+    sd = {}
+    for k, a in _to_torch_sd(v).items():
+        if k.endswith(".conv.weight"):
+            fan_in = a.shape[1] * a.shape[2] * a.shape[3]
+            a = rs.standard_normal(a.shape) * np.sqrt(2.0 / fan_in)
+        elif k.endswith(".bn.running_var"):
+            a = rs.uniform(0.5, 1.5, a.shape)
+        elif k.endswith((".bn.weight",)):
+            a = rs.uniform(0.8, 1.2, a.shape)
+        elif k.endswith((".bn.bias", ".bn.running_mean")):
+            a = 0.05 * rs.standard_normal(a.shape)
+        sd[k] = torch.tensor(np.asarray(a, np.float32))
+    torch.save(sd, path)
+
+
+def test_golden_run_end_to_end(tmp_path):
+    art = tmp_path / "artifacts"
+    art.mkdir()
+    _make_vitvqgan_pt(str(art / "VitVQGAN.pt"))
+    _make_clip_bin(str(art / "clip_text.bin"))
+    _make_vgg_pth(str(art / "vgg16.pth"), str(art / "lpips_lins.pth"))
+    _make_inception_pth(str(art / "pt_inception.pth"))
+
+    sys.path.insert(0, "tools")
+    import golden_run
+
+    report = golden_run.main([
+        "--artifacts", str(art), "--resolution", "64",
+        "--out", str(tmp_path / "report.json"),
+    ])
+
+    assert report["missing"] == []
+    assert set(report["found"]) == {
+        "vitvqgan", "clip", "vgg16", "lpips_lins", "inception"}
+
+    # ViTVQGAN: our converted encode must bit-match the torch model the
+    # stand-in was saved from
+    vq = report["vitvqgan"]
+    assert vq["index_match_rate"] == 1.0, vq
+    assert np.isfinite(vq["psnr_recon_db"])
+    assert "lpips_pretrained" in vq  # the published metric path is live
+
+    clip = report["clip"]
+    assert clip["layers"] == 2 and clip["width"] == 64
+    assert clip["parity_cosine"] > 0.9999, clip
+
+    lp = report["lpips"]
+    assert lp["has_lin_heads"] and lp["sane"]
+    assert lp["d_identical"] < 1e-5
+
+    inc = report["inception"]
+    assert inc["pool3_dim"] == 2048
+    assert inc["fid_self"] < 1e-6
+    assert inc["fid_vs_noised"] > 0 and inc["published_fid_ready"]
+    assert (tmp_path / "report.json").exists()
