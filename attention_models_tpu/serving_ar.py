@@ -44,6 +44,7 @@ import time
 from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass
+from functools import partial
 
 
 import numpy as np
@@ -145,15 +146,20 @@ class PartiSlotEngine:
         }
 
         pe = model.apply(variables, method=lambda m: m.pos_enc.pe_table())
-        start = model.apply(variables, sb, method=Parti.start_embed)
 
         # ---- jitted programs ------------------------------------------------ #
+        # `variables` is an ARGUMENT to every jitted program, not a closure:
+        # closed-over params become embedded constants, and the serialized
+        # module (hundreds of MB of literals) exceeds remote-compile request
+        # limits on tunneled backends (HTTP 413) besides bloating the
+        # executable. Same convention as serving.py's service adapters.
         @jax.jit
-        def admit(state, slot, text_ids, seed):
+        def admit(variables, state, slot, text_ids, seed):
             """Install one request into ``slot``: fresh context, zeroed
             cache rows, position 0, start-token input."""
             ctx = model.apply(variables, text_ids[None],
                               method=Parti.prepare_context)  # (1, L, W)
+            start = model.apply(variables, sb, method=Parti.start_embed)
             if cfg_on:
                 ctx = jnp.concatenate([ctx, jnp.zeros_like(ctx)], axis=0)
             hot = jax.nn.one_hot(slot, self.slots, dtype=jnp.bool_)
@@ -171,7 +177,7 @@ class PartiSlotEngine:
                 "indices": state["indices"].at[slot].set(0),
             }
 
-        def slot_step(cache, tok, ctx, seed, pos):
+        def slot_step(variables, cache, tok, ctx, seed, pos):
             """One decoder step for ONE slot (inner batch sb)."""
             logits, upd = model.apply(
                 {**variables, "cache": cache}, tok, ctx,
@@ -198,11 +204,14 @@ class PartiSlotEngine:
             return upd["cache"], tok_next, nxt[0]
 
         @jax.jit
-        def run_chunk(state):
+        def run_chunk(variables, state):
             def body(_, st):
                 active = st["pos"] < n
-                cache, tok, nxt = jax.vmap(slot_step)(
-                    st["cache"], st["tok"], st["ctx"], st["seed"], st["pos"]
+                cache, tok, nxt = jax.vmap(
+                    slot_step, in_axes=(None, 0, 0, 0, 0, 0)
+                )(
+                    variables, st["cache"], st["tok"], st["ctx"],
+                    st["seed"], st["pos"]
                 )
                 # done slots: freeze everything (their step computed garbage)
                 def keep(new, old):
@@ -227,15 +236,15 @@ class PartiSlotEngine:
             return jax.lax.fori_loop(0, self.chunk_steps, body, state)
 
         @jax.jit
-        def vq_decode(indices_row):
+        def vq_decode(variables, indices_row):
             return model.apply(
                 variables, indices_row[None],
                 method=lambda m, ix: m.vq.decode_indices(ix),
             )[0]
 
-        self._admit = admit
-        self._run_chunk = run_chunk
-        self._vq_decode = vq_decode
+        self._admit = partial(admit, variables)
+        self._run_chunk = partial(run_chunk, variables)
+        self._vq_decode = partial(vq_decode, variables)
         if autostart:
             self.start()
 

@@ -404,7 +404,7 @@ def main():
     import os
 
     t_start = time.perf_counter()
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1200))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1500))
 
     def elapsed() -> float:
         return time.perf_counter() - t_start

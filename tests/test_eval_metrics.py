@@ -9,6 +9,7 @@ feature tower standing in for Inception (offline environment).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from attention_models_tpu.utils.eval_metrics import (
     feature_stats,
@@ -68,6 +69,7 @@ def test_feature_stats_shapes():
     assert mu.shape == (3,) and cov.shape == (3, 3)
 
 
+@pytest.mark.slow
 def test_vgg_fid_features_shape_and_signal():
     """Pooled relu5_3 features: (b, 512); identical images give identical
     features, different images differ (randomly-initialized tower is enough

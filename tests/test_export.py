@@ -11,6 +11,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from attention_models_tpu.models.vitvqgan import ViTVQGAN
 from attention_models_tpu.utils.export import export_fn, load_fn
@@ -27,6 +28,7 @@ def tiny_vitvqgan():
     )
 
 
+@pytest.mark.slow
 def test_export_recon_roundtrip(tmp_path):
     model = tiny_vitvqgan()
     imgs = jnp.array(np.random.RandomState(0).rand(2, 3, 32, 32), jnp.float32)
@@ -132,6 +134,7 @@ def test_trained_checkpoint_loads_into_inference_template(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_export_cli_generate_surface_loads_checkpoint(tmp_path):
     """--surface generate must bake TRAINED weights (regression: the
     generator branch ignored --ckpt and exported random init silently).

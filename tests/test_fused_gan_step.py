@@ -42,6 +42,7 @@ def _tree_allclose(a, b):
         )
 
 
+@pytest.mark.slow
 def test_fused_gan_step_matches_two_phase(tmp_path):
     cfg = load_config(os.path.join(CFG_DIR, "vitvqgan_overfit.yaml"))
     cwd = os.getcwd()

@@ -140,6 +140,7 @@ def test_muse_generate_approx_topk_path(muse):
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_parti_train_and_cached_generate():
     vq_cfg = dict(kind="vitvqgan", **TINY_VQ)
     m = Parti(dim=32, vq_config=vq_cfg, max_length=8, n_heads=2, d_head=16,

@@ -52,6 +52,7 @@ def _to_torch_sd(variables):
     return sd
 
 
+@pytest.mark.slow
 def test_converter_roundtrips_the_exact_variable_tree(tower):
     m, v = tower
     sd = _to_torch_sd(v)
@@ -73,6 +74,7 @@ def test_converter_roundtrips_the_exact_variable_tree(tower):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(p))
 
 
+@pytest.mark.slow
 def test_converter_rejects_schema_drift(tower):
     _, v = tower
     sd = _to_torch_sd(v)
@@ -81,6 +83,7 @@ def test_converter_rejects_schema_drift(tower):
         convert_inception_fid(sd)
 
 
+@pytest.mark.slow
 def test_pool3_features_shape_and_determinism(tower):
     m, v = tower
     imgs = jnp.asarray(

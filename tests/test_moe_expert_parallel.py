@@ -13,6 +13,7 @@ from attention_models_tpu.ops.moe import (
     topk_gate,
 )
 from attention_models_tpu.parallel import create_mesh
+import pytest
 
 
 def _setup(n=64, d_in=16, d_out=24, e=8, k=2, seed=0):
@@ -73,6 +74,7 @@ def test_ep_capacity_drops_per_source_shard():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_ep_gradients_match_dense():
     mesh = create_mesh(data=8, model=1)
     x, w, selected, weights = _setup(n=40, e=8, seed=4)

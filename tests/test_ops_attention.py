@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -271,6 +272,7 @@ def test_flash_bthd_matches_bhtd():
                                    atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_flash_bthd_kv_packed_matches_separate():
     """The packed-kv entry point (k/v as one (b, t, 2, h, d) operand — the
     fused wkv projection's own layout) must agree with the separate-k/v

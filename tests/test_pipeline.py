@@ -48,6 +48,7 @@ def test_pipeline_forward_matches_sequential():
                                    atol=1e-5, rtol=1e-5, err_msg=f"m={m}")
 
 
+@pytest.mark.slow
 def test_pipeline_gradients_match_sequential():
     mesh = jax.make_mesh((2,), ("stage",), devices=jax.devices()[:2],
                          axis_types=(jax.sharding.AxisType.Auto,))
@@ -120,6 +121,7 @@ def test_pipeline_per_mb_broadcast_and_data_axis():
 
 
 @pytest.mark.parametrize("remat", [False, True])
+@pytest.mark.slow
 def test_decoder_pipeline_matches_sequential_scan(remat):
     """End-to-end model routing: the same scan-created params produce the
     same output (and input-gradients) whether the stacked layers run as a
@@ -158,6 +160,7 @@ def test_decoder_pipeline_matches_sequential_scan(remat):
                                atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_pipeline_dropout_masks_differ_across_microbatches():
     """Stochastic training under pp: identical examples placed in DIFFERENT
     microbatches must draw different dropout masks (the per-layer key is

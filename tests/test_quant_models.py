@@ -77,6 +77,7 @@ def test_maskgit_transformer_quant_tree_and_forward():
     assert np.isfinite(np.asarray(out, np.float32)).all()
 
 
+@pytest.mark.slow
 def test_muse_generate_jits_under_quant():
     """The full CFG decode scan compiles and runs with quant="int8"
     (CPU path: XLA quant_dot + unfused W8A8 FFN)."""

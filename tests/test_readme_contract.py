@@ -16,6 +16,7 @@ from attention_models_tpu.models import (
     ViTMoE,
 )
 from attention_models_tpu.ops.attention import make_causal_mask
+import pytest
 
 KEY = jax.random.key(0)
 
@@ -70,6 +71,7 @@ def test_vit_snippet():  # README.md:149-157
     assert model.apply(params, x).shape == (2, 1000)
 
 
+@pytest.mark.slow
 def test_vit_moe_snippet():  # README.md:165-182
     model = ViTMoE(dim=256, image_size=64, patch_size=32, n_heads=4,
                    d_head=64, depth=1, n_experts=8, sel_experts=2,

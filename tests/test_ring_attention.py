@@ -15,6 +15,7 @@ from attention_models_tpu.ops.attention import (
 )
 from attention_models_tpu.ops.ring_attention import ring_flash_attention
 from attention_models_tpu.parallel import create_mesh
+import pytest
 
 
 def _rand(*shape, seed=0):
@@ -34,6 +35,7 @@ def test_ring_forward_matches_xla():
                                atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_ring_causal_matches_xla():
     mesh = create_mesh(data=1, model=8)
     q, k, v = (_rand(2, 2, 256, 32, seed=s) for s in (3, 4, 5))
@@ -48,6 +50,7 @@ def test_ring_causal_matches_xla():
                                atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_ring_gradients_match_xla():
     mesh = create_mesh(data=2, model=4)
     q, k, v = (_rand(2, 2, 128, 32, seed=s) for s in (6, 7, 8))
@@ -71,6 +74,7 @@ def test_ring_gradients_match_xla():
                                    atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_ring_causal_gradients_match_xla():
     mesh = create_mesh(data=1, model=8)
     q, k, v = (_rand(1, 2, 128, 32, seed=s) for s in (10, 11, 12))
@@ -96,6 +100,7 @@ def test_ring_causal_gradients_match_xla():
                                    atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_model_level_sequence_parallel(monkeypatch):
     """training.sequence_parallel end-to-end slice: an Encoder forward under
     a (data, seq, model) mesh with the token dim sharded must match the

@@ -8,6 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from attention_models_tpu.models.transformer import Decoder, Encoder
+import pytest
 
 
 def _stack_loop_params(loop_params, depth, key="layers"):
@@ -82,6 +83,7 @@ def test_scanned_decoder_gradients_flow():
     assert all(np.isfinite(norms)) and max(norms) > 0
 
 
+@pytest.mark.slow
 def test_remat_matches_plain_all_forms():
     """training.remat must be a pure memory knob: the nn.remat-wrapped
     layers (static bool args pinned via static_argnums — tracing them is a

@@ -61,6 +61,7 @@ def test_slot_engine_output_independent_of_traffic_and_slot(tiny_parti):
     assert "latency_p50_ms" in stats
 
 
+@pytest.mark.slow
 def test_slot_engine_single_slot_serializes_and_reuses_cache(tiny_parti):
     m, params, ids = tiny_parti
     with PartiSlotEngine(m, params, slots=1, chunk_steps=2) as eng:
@@ -73,6 +74,7 @@ def test_slot_engine_single_slot_serializes_and_reuses_cache(tiny_parti):
     assert not np.array_equal(outs[0], outs[1])
 
 
+@pytest.mark.slow
 def test_slot_engine_guidance_one_equals_unguided(tiny_parti):
     m, params, ids = tiny_parti
     with PartiSlotEngine(m, params, slots=1, chunk_steps=4) as eng:
@@ -83,6 +85,7 @@ def test_slot_engine_guidance_one_equals_unguided(tiny_parti):
     np.testing.assert_array_equal(plain, guided)
 
 
+@pytest.mark.slow
 def test_slot_engine_warmup_and_close_semantics(tiny_parti):
     m, params, ids = tiny_parti
     eng = PartiSlotEngine(m, params, slots=2, chunk_steps=2, autostart=False)

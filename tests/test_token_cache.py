@@ -99,6 +99,7 @@ def test_muse_loss_from_indices_matches_forward():
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(split))
 
 
+@pytest.mark.slow
 def test_maskgit_token_cache_matches_uncached_run(tmp_path):
     plain_dir = tmp_path / "plain"
     cached_dir = tmp_path / "cached"
@@ -120,6 +121,7 @@ def test_maskgit_token_cache_matches_uncached_run(tmp_path):
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_muse_token_cache_runs(tmp_path):
     trainer, _ = _run("muse_overfit.yaml", tmp_path,
                       **{"training.cache_vq_tokens": True})
@@ -142,6 +144,7 @@ def _build(cfg_name, tmp_path, **overrides):
         os.chdir(cwd)
 
 
+@pytest.mark.slow
 def test_token_cache_persisted_and_reused(tmp_path, caplog):
     import logging
 
@@ -171,6 +174,7 @@ def test_token_cache_persisted_and_reused(tmp_path, caplog):
     ("maskgit_overfit.yaml", "maskgit_overfit"),
     ("muse_overfit.yaml", "muse_overfit"),
 ])
+@pytest.mark.slow
 def test_cached_training_skips_image_pipeline(tmp_path, monkeypatch,
                                               cfg_name, project):
     """After pretokenization, cached epochs must never call the dataset's
@@ -199,6 +203,7 @@ def test_cached_training_skips_image_pipeline(tmp_path, monkeypatch,
     assert calls["n"] == 0, f"image pipeline ran {calls['n']} times"
 
 
+@pytest.mark.slow
 def test_token_cache_composes_with_tensor_parallel(tmp_path):
     """The token step must respect the (data, model) mesh like the image
     step: params/opt sharded over model, cached token batches over data."""

@@ -49,6 +49,7 @@ def test_vit_trainer_runs_and_logs(tmp_path):
     assert trainer.global_step >= 4
 
 
+@pytest.mark.slow
 def test_vitvqgan_gan_trainer_runs(tmp_path):
     # 5 epochs x 1 batch -> step 4 triggers evaluate() (sample_every=4)
     trainer, _ = _run("vitvqgan_overfit.yaml", tmp_path,
@@ -70,6 +71,7 @@ def test_vitvqgan_gan_trainer_runs(tmp_path):
                for l in evals)
 
 
+@pytest.mark.slow
 def test_maskgit_trainer_runs(tmp_path):
     trainer, _ = _run("maskgit_overfit.yaml", tmp_path,
                       **{"training.eval_fid": True})
@@ -95,6 +97,7 @@ def test_maskgit_trainer_runs(tmp_path):
     assert len(fids) == 2 and np.isfinite(fids).all() and min(fids) >= 0
 
 
+@pytest.mark.slow
 def test_muse_trainer_runs(tmp_path):
     trainer, _ = _run("muse_overfit.yaml", tmp_path)
     logs = _losses(tmp_path, "muse_overfit")
@@ -108,6 +111,7 @@ def test_muse_trainer_runs(tmp_path):
     assert any("val_loss" in l for l in _losses(tmp_path, "muse_overfit"))
 
 
+@pytest.mark.slow
 def test_vit_overfit_loss_decreases(tmp_path):
     _run("vit_overfit.yaml", tmp_path, **{"training.num_epochs": 30,
                                           "optimizer.params.learning_rate": 0.003})
@@ -116,12 +120,14 @@ def test_vit_overfit_loss_decreases(tmp_path):
     assert min(logs[-5:]) < logs[0], f"loss did not decrease: {logs[:3]} -> {logs[-3:]}"
 
 
+@pytest.mark.slow
 def test_parti_trainer_runs(tmp_path):
     trainer, _ = _run("parti_overfit.yaml", tmp_path)
     logs = _losses(tmp_path, "parti_overfit")
     assert any("loss" in l for l in logs)
 
 
+@pytest.mark.slow
 def test_transformer_trainer_runs(tmp_path):
     """Seq2seq Transformer end-to-end through main-path code: the reference
     trains this model only via its README snippet (README.md:55-89)."""
@@ -133,6 +139,7 @@ def test_transformer_trainer_runs(tmp_path):
     assert any("val_token_acc" in l for l in logs)
 
 
+@pytest.mark.slow
 def test_transformer_overfit_loss_decreases(tmp_path):
     trainer, _ = _run(
         "transformer_overfit.yaml", tmp_path,
@@ -198,6 +205,7 @@ def test_trainer_checkpoint_resume(tmp_path):
         os.chdir(cwd)
 
 
+@pytest.mark.slow
 def test_gradient_accumulation(tmp_path):
     """optax.MultiSteps path: params must be FROZEN after micro-step 1 and
     updated after micro-step 2 (one full optimizer step per k micro-steps)."""
@@ -244,6 +252,7 @@ def test_gradient_accumulation(tmp_path):
         os.chdir(cwd)
 
 
+@pytest.mark.slow
 def test_maskgit_overfit_loss_decreases(tmp_path):
     _run("maskgit_overfit.yaml", tmp_path,
          **{"training.num_epochs": 40,
@@ -254,6 +263,7 @@ def test_maskgit_overfit_loss_decreases(tmp_path):
     assert min(logs[-5:]) < logs[0], f"{logs[:3]} -> {logs[-3:]}"
 
 
+@pytest.mark.slow
 def test_muse_overfit_loss_decreases(tmp_path):
     _run("muse_overfit.yaml", tmp_path,
          **{"training.num_epochs": 40,
@@ -264,6 +274,7 @@ def test_muse_overfit_loss_decreases(tmp_path):
     assert min(logs[-5:]) < logs[0], f"{logs[:3]} -> {logs[-3:]}"
 
 
+@pytest.mark.slow
 def test_trainer_tensor_parallel(tmp_path):
     """dp x tp mesh end-to-end: ViT trains on a 4x2 (data, model) mesh with
     the WEIGHTS (and optimizer moments) actually sharded over the model
@@ -306,6 +317,7 @@ def test_trainer_tensor_parallel(tmp_path):
     np.testing.assert_allclose(losses_tp, losses_dp, rtol=2e-2, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_trainer_fsdp(tmp_path):
     """training.fsdp (ZeRO-3 over the data axis): weight matrices AND their
     optimizer moments shard over `data` instead of replicating, and the loss
@@ -359,6 +371,7 @@ def test_trainer_fsdp(tmp_path):
     np.testing.assert_allclose(losses_fsdp, losses_dp, rtol=2e-2, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_sample_grids_logged_to_metrics_writer(tmp_path):
     """Grids must reach the metrics writer (TB/wandb), not just disk PNGs —
     matching the reference's wandb.Image behavior (trainers/muse.py:130-132)."""
@@ -379,6 +392,7 @@ def test_sample_grids_logged_to_metrics_writer(tmp_path):
     assert name.startswith("samples/") and shape[0] == 3
 
 
+@pytest.mark.slow
 def test_sigterm_checkpoints_and_resumes(tmp_path):
     """Preemption resilience: kill -TERM mid-run forces a synchronous final
     checkpoint, and a fresh auto_resume trainer continues at that step."""
@@ -439,6 +453,7 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
         os.chdir(cwd)
 
 
+@pytest.mark.slow
 def test_trainer_sequence_parallel(tmp_path):
     """dp x sp x tp mesh end-to-end: training.sequence_parallel builds the
     3-D (data, seq, model) mesh and the loss trajectory matches the dp-only
@@ -464,6 +479,7 @@ def test_trainer_sequence_parallel(tmp_path):
     np.testing.assert_allclose(losses_sp, losses_dp, rtol=2e-2, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_trainer_pipeline_parallel(tmp_path):
     """dp x pp mesh end-to-end: training.pipeline_parallel=2 trains MaskGIT
     on a (data=4, stage=2) mesh with the scan-stacked decoder layers (and
@@ -527,6 +543,7 @@ def test_trainer_pipeline_parallel(tmp_path):
     np.testing.assert_allclose(losses_pp, losses_dp, rtol=2e-2, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_ragged_eval_padding_exact(tmp_path):
     """Ragged val tail batches (val=2 < batch=4 here) are padded to the
     train batch shape so jitted eval fns reuse one executable, and metrics
@@ -576,6 +593,7 @@ def test_pad_batch_semantics(tmp_path):
     assert n_full == 4 and full_p is full
 
 
+@pytest.mark.slow
 def test_profiler_and_nan_check_knobs(tmp_path):
     """training.profile_step opens a jax.profiler window dumped under
     outputs/<project>/profile (SURVEY §5 tracing); training.debug_nans
@@ -604,6 +622,7 @@ def test_profiler_and_nan_check_knobs(tmp_path):
         enable_nan_checks(False)
 
 
+@pytest.mark.slow
 def test_mid_epoch_resume_trains_exact_total(tmp_path):
     """A checkpoint taken mid-epoch must resume at that batch position and
     end at exactly num_epochs*iters_per_epoch steps — re-entering at the
@@ -645,6 +664,7 @@ def test_mid_epoch_resume_trains_exact_total(tmp_path):
         os.chdir(cwd)
 
 
+@pytest.mark.slow
 def test_frozen_subtrees_allocate_no_moments(tmp_path):
     """Frozen towers (MaskGIT's vq) must not carry adam moments: the
     optimizer runs under optax.masked, so the opt state holds MaskedNode —
@@ -684,6 +704,7 @@ def test_cadence_zero_disables(tmp_path):
     assert not any("loss" in l for l in logs)  # logging disabled
 
 
+@pytest.mark.slow
 def test_logged_lr_tracks_optimizer_steps(tmp_path):
     """With gradient accumulation the schedule advances once per optimizer
     step (optax.MultiSteps); the logged lr must sample schedule(step//k),
@@ -701,6 +722,7 @@ def test_logged_lr_tracks_optimizer_steps(tmp_path):
         assert abs(l["lr"] - expect) < 1e-9, (l["step"], l["lr"], expect)
 
 
+@pytest.mark.slow
 def test_trainer_fsdp_checkpoint_resume(tmp_path):
     """FSDP-sharded states must round-trip through orbax: save from a
     data-axis-sharded train state, resume into a fresh trainer bit-exactly,
@@ -760,6 +782,7 @@ def test_trainer_fsdp_checkpoint_resume(tmp_path):
         os.chdir(cwd)
 
 
+@pytest.mark.slow
 def test_trainer_ema(tmp_path):
     """training.ema_decay: the EMA subtree (a) excludes frozen towers,
     (b) equals d*p0 + (1-d)*p1 after exactly one step, (c) backs

@@ -33,9 +33,12 @@ def log(*a):
 
 
 def drive(submit, n_requests: int, rate_hz: float, make_input, seed0=0):
-    """Open-loop Poisson arrivals: submit at exp(rate) intervals, collect
-    all futures, return (latencies_s, wall_s)."""
+    """Open-loop Poisson arrivals: submit at exp(rate) intervals; each
+    request's latency is stamped by a done-callback at RESOLUTION time (a
+    blocking collect loop would fold submission-phase wall clock into the
+    early requests' latencies). Returns (latencies_s, wall_s)."""
     rs = np.random.RandomState(1234)
+    lats = []
     futs = []
     t_start = time.perf_counter()
     t_next = t_start
@@ -43,17 +46,16 @@ def drive(submit, n_requests: int, rate_hz: float, make_input, seed0=0):
         now = time.perf_counter()
         if t_next > now:
             time.sleep(t_next - now)
-        futs.append((time.perf_counter(), submit(make_input(i), seed0 + i)))
+        t_sub = time.perf_counter()
+        f = submit(make_input(i), seed0 + i)
+        f.add_done_callback(
+            lambda fut, t=t_sub: lats.append(time.perf_counter() - t))
+        futs.append(f)
         t_next += rs.exponential(1.0 / rate_hz)
-    lats = []
-    for t_sub, f in futs:
+    for f in futs:
         f.result(timeout=1200)
-        lats.append(time.perf_counter() - t_sub)
-    # NOTE: future resolution order == submission order here, so later
-    # latencies include result-wait skew; the engine's own stats() latency
-    # (submit -> batch done) is the clean per-request number. Report both.
     wall = time.perf_counter() - t_start
-    return np.asarray(lats), wall
+    return np.asarray(sorted(lats)), wall
 
 
 def report(name: str, rate, lats, wall, n, engine_stats=None):
@@ -124,8 +126,8 @@ def bench_parti(rates, n_requests, slots=4, chunk_steps=64):
     )
     ids_row = np.asarray(ids[0])
 
+    run = parti_service(parti, params, approx_topk=True)
     for rate in rates:
-        run = parti_service(parti, params, approx_topk=True)
         eng = BatchedInferenceEngine(run, bucket_sizes=(1, 2, 4, 8),
                                      max_wait_ms=20.0, name="parti")
         eng.warmup(ids_row)
