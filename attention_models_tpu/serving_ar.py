@@ -34,6 +34,18 @@ The reference has no serving at all (per-image scripts,
 the right runtime for the fixed-step iterative decoders (Muse/MaskGIT),
 where every request takes the same 18 steps and HOL blocking is bounded by
 one step group.
+
+MEASURED VERDICT (v5e, reference scale — docs/ROADMAP.md round-3 serving
+table): bucket batching beats this engine ~3× on throughput at every tested
+load. Depth-heterogeneous slots turn every KV append into a per-row-index
+update that XLA lowers to scatter (the bucket path's shared loop index is
+one cheap dynamic_update_slice), and that per-step tax exceeds the
+head-of-line wait continuous batching removes — image AR decode is
+FIXED-length (always num_patches steps), so bucket batches never straggle,
+which is the straggler scenario vLLM-style batching actually wins. This
+engine stays available (``inference/serve.py --continuous``) for
+variable-length decode futures and as the measured justification for the
+bucket default.
 """
 
 from __future__ import annotations
@@ -213,14 +225,13 @@ class PartiSlotEngine:
                     variables, st["cache"], st["tok"], st["ctx"],
                     st["seed"], st["pos"]
                 )
-                # done slots: freeze everything (their step computed garbage)
-                def keep(new, old):
-                    mask = active.reshape(
-                        (self.slots,) + (1,) * (new.ndim - 1))
-                    return jnp.where(mask, new, old)
-
-                cache = jax.tree.map(keep, cache, st["cache"])
-                tok = keep(tok, st["tok"])
+                # Done slots keep stepping on garbage — by design. Freezing
+                # their cache through a select would rewrite the ENTIRE KV
+                # cache every step (measured 3x the per-step cost: the
+                # where() materializes a full cache copy); a done slot's
+                # cache content is irrelevant (zeroed at admit) and its
+                # in-cache writes stay confined to its own slot row. Only
+                # the small per-slot outputs are guarded below.
                 pidx = jnp.minimum(st["pos"], n - 1)
                 cur = jnp.take_along_axis(
                     st["indices"], pidx[:, None], axis=1)[:, 0]

@@ -76,7 +76,7 @@ def report(name: str, rate, lats, wall, n, engine_stats=None):
     print(json.dumps(rec), flush=True)
 
 
-def bench_muse(rates, n_requests):
+def bench_muse(rates, n_requests, buckets=(1, 2, 4, 8)):
     import jax
 
     from attention_models_tpu.serving import (
@@ -91,16 +91,18 @@ def bench_muse(rates, n_requests):
     ids_row = np.asarray(ids[0])
 
     for rate in rates:
-        eng = BatchedInferenceEngine(run, bucket_sizes=(1, 2, 4, 8),
+        eng = BatchedInferenceEngine(run, bucket_sizes=buckets,
                                      max_wait_ms=20.0, name="muse")
         eng.warmup(ids_row)
         lats, wall = drive(eng.submit, n_requests, rate,
                            lambda i: ids_row)
-        report("muse_bucket", rate, lats, wall, n_requests, eng.stats())
+        report(f"muse_bucket{max(buckets)}", rate, lats, wall, n_requests,
+               eng.stats())
         eng.close()
 
 
-def bench_parti(rates, n_requests, slots=4, chunk_steps=64):
+def bench_parti(rates, n_requests, slots=4, chunk_steps=64,
+                buckets=(1, 2, 4, 8)):
     import functools
 
     import jax
@@ -128,11 +130,12 @@ def bench_parti(rates, n_requests, slots=4, chunk_steps=64):
 
     run = parti_service(parti, params, approx_topk=True)
     for rate in rates:
-        eng = BatchedInferenceEngine(run, bucket_sizes=(1, 2, 4, 8),
+        eng = BatchedInferenceEngine(run, bucket_sizes=buckets,
                                      max_wait_ms=20.0, name="parti")
         eng.warmup(ids_row)
         lats, wall = drive(eng.submit, n_requests, rate, lambda i: ids_row)
-        report("parti_bucket", rate, lats, wall, n_requests, eng.stats())
+        report(f"parti_bucket{max(buckets)}", rate, lats, wall,
+               n_requests, eng.stats())
         eng.close()
 
     for rate in rates:
@@ -152,6 +155,7 @@ def main():
     ap.add_argument("--rates", default="1,4,16",
                     help="arrival rates (req/s), comma-separated")
     ap.add_argument("--slots", type=int, default=4)
+    ap.add_argument("--buckets", default="1,2,4,8")
     ap.add_argument("--chunk-steps", type=int, default=64)
     args = ap.parse_args()
 
@@ -162,10 +166,12 @@ def main():
     log(f"backend={jax.default_backend()}")
 
     rates = [float(r) for r in args.rates.split(",")]
+    buckets = tuple(int(b) for b in args.buckets.split(","))
     if "muse" in args.models:
-        bench_muse(rates, args.requests)
+        bench_muse(rates, args.requests, buckets)
     if "parti" in args.models:
-        bench_parti(rates, args.requests, args.slots, args.chunk_steps)
+        bench_parti(rates, args.requests, args.slots, args.chunk_steps,
+                    buckets)
 
 
 if __name__ == "__main__":
