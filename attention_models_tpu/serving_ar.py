@@ -269,11 +269,20 @@ class PartiSlotEngine:
         self._thread.start()
 
     def close(self, timeout: float | None = 120.0):
-        """Stop accepting work, drain queued + in-flight requests."""
+        """Stop accepting work; in-flight requests drain, then any still-
+        queued requests (loop never started, or a submit raced close) fail
+        with ServingError rather than hanging their callers forever."""
         self._closed = True
         if self._thread is not None:
             self._thread.join(timeout=timeout)
             self._thread = None
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if not req.future.cancelled():
+                req.future.set_exception(ServingError("engine closed"))
 
     def __enter__(self):
         return self
@@ -323,12 +332,37 @@ class PartiSlotEngine:
         return s
 
     # ------------------------------------------------------------ scheduler
+    def _admit_req(self, state, s, req):
+        """Admit ``req`` into free slot ``s``. On a device failure the
+        request's OWN future gets the exception (the slot stays free, the
+        loop keeps serving) and the state is returned unchanged."""
+        try:
+            new_state = self._admit(state, s, req.text_ids, req.seed)
+        except Exception as e:  # noqa: BLE001
+            with self._lock:
+                self._stats["errors"] += 1
+            if not req.future.cancelled():
+                req.future.set_exception(e)
+            return state
+        self._owners[s] = req
+        return new_state
+
     def _loop(self):
         n = self._n
         state = self._state
         while True:
             # retire finished slots (fetch pos once per chunk)
-            pos = np.asarray(state["pos"])
+            try:
+                pos = np.asarray(state["pos"])
+            except Exception as e:  # noqa: BLE001 — poisoned state
+                for s, req in enumerate(self._owners):
+                    if req is not None and not req.future.cancelled():
+                        req.future.set_exception(e)
+                    self._owners[s] = None
+                with self._lock:
+                    self._stats["errors"] += 1
+                state = self._state
+                continue
             for s in range(self.slots):
                 req = self._owners[s]
                 if req is None or pos[s] < n:
@@ -356,8 +390,7 @@ class PartiSlotEngine:
                     req = self._q.get_nowait()
                 except queue.Empty:
                     break
-                state = self._admit(state, s, req.text_ids, req.seed)
-                self._owners[s] = req
+                state = self._admit_req(state, s, req)
 
             n_active = sum(o is not None for o in self._owners)
             if n_active == 0:
@@ -369,11 +402,27 @@ class PartiSlotEngine:
                     req = self._q.get(timeout=0.05)
                 except queue.Empty:
                     continue
-                state = self._admit(state, 0, req.text_ids, req.seed)
-                self._owners[0] = req
-                n_active = 1
+                state = self._admit_req(state, 0, req)
+                n_active = sum(o is not None for o in self._owners)
+                if n_active == 0:
+                    continue
 
-            state = self._run_chunk(state)
+            try:
+                state = self._run_chunk(state)
+            except Exception as e:  # noqa: BLE001 — device/tunnel failure
+                # A dead scheduler thread would strand every in-flight AND
+                # queued future (callers block forever) — instead fail the
+                # current owners, reset to the pristine state, and keep
+                # serving (transient RESOURCE_EXHAUSTED / tunnel errors are
+                # a documented failure mode of this backend).
+                with self._lock:
+                    self._stats["errors"] += n_active
+                for s, req in enumerate(self._owners):
+                    if req is not None and not req.future.cancelled():
+                        req.future.set_exception(e)
+                    self._owners[s] = None
+                state = self._state
+                continue
             with self._lock:
                 self._stats["chunks"] += 1
                 self._stats["slot_steps"] += self.slots * self.chunk_steps

@@ -556,13 +556,15 @@ class PartiTrainer(_GeneratorTrainer):
         self.evaluate()
 
     def evaluate(self):
-        """Val loss + grid from the first val batch; when ``training.
-        eval_fid`` is on, FID features accumulate over ``training.
-        eval_fid_batches`` (default 4) batches — a single ~batch-size
-        feature set in 512 dims gives an essentially-noise covariance
-        estimate, so the distance would swing between identical-quality
-        models. Each extra batch costs a full AR decode, hence a smaller
-        default than MaskGit's 11."""
+        """``val_loss`` and the sample grid always come from the FIRST val
+        batch only, so the fixed-rng loss curve stays like-for-like whether
+        or not FID is enabled. When ``training.eval_fid`` is on, FID
+        features additionally accumulate over ``training.eval_fid_batches``
+        (default 4) val batches — a single ~batch-size feature set in 512
+        dims gives an essentially-noise covariance estimate, so the
+        distance would swing between identical-quality models. Each extra
+        batch costs a full AR decode, hence a smaller default than
+        MaskGit's 11."""
         from attention_models_tpu.models.parti import parti_generate
 
         n_batches = (int(self.cfg.training.get("eval_fid_batches", 4))
@@ -574,19 +576,21 @@ class PartiTrainer(_GeneratorTrainer):
             ids, img_p, n = self.pad_batch(
                 tokenize(list(texts), self.max_length), np.asarray(img)
             )
-            losses.append(float(self._val_loss_step(
-                self.eval_params(), self.shard_batch(ids),
-                self.shard_batch(img_p),
-            )))
+            if i == 0:
+                losses.append(float(self._val_loss_step(
+                    self.eval_params(), self.shard_batch(ids),
+                    self.shard_batch(img_p),
+                )))
             imgs = parti_generate(self.model, {"params": self.eval_params()},
                                   jnp.array(ids), self.rng())
             imgs = np.asarray(imgs, np.float32)
             if self.eval_fid_on:
                 real_f.append(self.fid_features(img_p)[:n])
                 gen_f.append(self.fid_features(np.clip(imgs, 0, 1))[:n])
-            self.log_image_grid(
-                imgs[:n],
-                os.path.join(self.image_saved_dir, f"parti_step_{i}.png"),
-                f"samples/eval_{i}",
-            )
+            if i == 0:
+                self.log_image_grid(
+                    imgs[:n],
+                    os.path.join(self.image_saved_dir, f"parti_step_{i}.png"),
+                    f"samples/eval_{i}",
+                )
         self.log_val_loss(losses, real_f, gen_f)

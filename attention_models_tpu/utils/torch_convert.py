@@ -439,3 +439,37 @@ def convert_inception_fid(sd: Mapping) -> dict:
     if leftovers:
         raise KeyError(f"unconsumed inception keys: {sorted(leftovers)[:8]}")
     return {"params": params, "batch_stats": stats}
+
+
+def repaired_reference_ff(dim, mlp_dim):
+    """The working xFormers-style MLP the reference snapshot intended
+    (models/vitvqgan.py:20-34 is a broken non-Module class — SURVEY §2.9#1):
+    Linear → GELU → Linear with hidden ``(int(mlp·2/3)+7)//8·8``. Single
+    source of truth for every consumer of the repair (inference CLI, golden
+    run, parity tests) — the bit-match protocol depends on this rounding."""
+    import torch.nn as nn
+
+    hidden = (int(mlp_dim * 2 / 3) + 7) // 8 * 8
+    return nn.Sequential(nn.Linear(dim, hidden), nn.GELU(),
+                         nn.Linear(hidden, dim))
+
+
+def load_reference_vitvqgan(ref_path: str, vit_params: dict,
+                            cb_params: dict):
+    """Import the PyTorch reference's ``models.vitvqgan`` read-only (no
+    package __init__ — it drags in modules that crash at this snapshot),
+    repair its FeedForward, and construct an eval-mode ViTVQGAN. Used by
+    the golden-fidelity protocol to run the SAME weights through the
+    reference for the index bit-match (SURVEY.md §3.4)."""
+    import os
+    import sys
+    import types
+
+    if "models" not in sys.modules:
+        pkg = types.ModuleType("models")
+        pkg.__path__ = [os.path.join(ref_path, "models")]
+        sys.modules["models"] = pkg
+    __import__("models.vitvqgan")
+    ref = sys.modules["models.vitvqgan"]
+    ref.FeedForward = repaired_reference_ff
+    return ref.ViTVQGAN(vit_params, cb_params).eval()

@@ -9,7 +9,7 @@ in INFORMATION-VALUE order (training steps before int8/encode variants), so
 a budget cut loses the least important numbers first:
 
     recon sweep → headline JSON → encode-only → GAN train sweep →
-    Muse train sweep → decode latency (+ int8 A/B) → serving note
+    Muse train sweep → decode latency (+ int8 A/B)
 
 The persistent compilation cache (/tmp/jax_cache) makes re-runs cheap; the
 first cold run through the remote-compile tunnel is what BENCH_BUDGET_S
@@ -186,9 +186,11 @@ def _decode_latency_bench(log, time_fn):
 def _muse_train_step_bench(log, time_fn, over_budget):
     """Muse token-path training step (loss_from_indices: text encode +
     decoder fwd + fused head+CE + full backward + adam) at the decode
-    bench's model scale, swept over batch {8, 16, 32} — training throughput
-    at the throughput-optimal batch, not just b=8 latency (VERDICT r2 #5).
-    On an OOM the batch retries with remat'd decoder blocks."""
+    bench's model scale, swept over batch {8, 16} — training throughput at
+    the throughput-optimal batch, not just b=8 latency (VERDICT r2 #5).
+    bs=32 is deliberately NOT probed (see the loop comment: it OOMs and the
+    backend keeps the HBM). On an OOM the batch retries with remat'd
+    decoder blocks."""
     import jax
     import jax.numpy as jnp
     import optax

@@ -81,31 +81,17 @@ def golden_json(model, variables, imgs, indices, rec, ckpt_path, ref_path):
         "index_match_rate": None,
     }
     try:
-        import sys as _sys
-        import types
-
         import torch
 
-        if "models" not in _sys.modules:
-            pkg = types.ModuleType("models")
-            pkg.__path__ = [os.path.join(ref_path, "models")]
-            _sys.modules["models"] = pkg
-        __import__("models.vitvqgan")
-        ref = _sys.modules["models.vitvqgan"]
+        from attention_models_tpu.utils.torch_convert import (
+            load_reference_vitvqgan,
+        )
 
-        def _ff(dim, mlp_dim):  # repair the snapshot's broken class
-            import torch.nn as tnn
-
-            hidden = (int(mlp_dim * 2 / 3) + 7) // 8 * 8
-            return tnn.Sequential(tnn.Linear(dim, hidden), tnn.GELU(),
-                                  tnn.Linear(hidden, dim))
-
-        ref.FeedForward = _ff
         vit_params = dict(dim=512, img_size=imgs.shape[-1], patch_size=8,
                           n_heads=8, d_head=64, depth=6, mlp_dim=2048,
                           dropout=0.0)
-        m = ref.ViTVQGAN(vit_params,
-                         dict(codebook_dim=32, codebook_size=8192)).eval()
+        m = load_reference_vitvqgan(
+            ref_path, vit_params, dict(codebook_dim=32, codebook_size=8192))
         sd = torch.load(ckpt_path, map_location="cpu")
         sd = sd.get("state_dict", sd)
         m.load_state_dict(sd, strict=False)

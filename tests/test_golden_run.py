@@ -21,18 +21,11 @@ torch = pytest.importorskip("torch")
 
 
 def _make_vitvqgan_pt(path, img_size=64):
-    import torch.nn as nn
-
+    from attention_models_tpu.utils.torch_convert import repaired_reference_ff
     from ref_loader import load_ref_module
 
     ref = load_ref_module("models.vitvqgan")
-
-    def _ff(dim, mlp_dim):
-        hidden = (int(mlp_dim * 2 / 3) + 7) // 8 * 8
-        return nn.Sequential(nn.Linear(dim, hidden), nn.GELU(),
-                             nn.Linear(hidden, dim))
-
-    ref.FeedForward = _ff
+    ref.FeedForward = repaired_reference_ff
     torch.manual_seed(0)
     vit_params = dict(dim=512, img_size=img_size, patch_size=8, n_heads=8,
                       d_head=64, depth=6, mlp_dim=2048, dropout=0.0)

@@ -142,29 +142,16 @@ def section_vitvqgan(path, imgs, ref_path, lpips_params):
 
     # torch-reference bit-match protocol (SURVEY.md §3.4)
     try:
-        import types
-
         import torch
 
-        if "models" not in sys.modules:
-            pkg = types.ModuleType("models")
-            pkg.__path__ = [os.path.join(ref_path, "models")]
-            sys.modules["models"] = pkg
-        __import__("models.vitvqgan")
-        ref = sys.modules["models.vitvqgan"]
+        from attention_models_tpu.utils.torch_convert import (
+            load_reference_vitvqgan,
+        )
 
-        def _ff(dim, mlp_dim):  # repair the snapshot's broken class
-            import torch.nn as tnn
-
-            hidden = (int(mlp_dim * 2 / 3) + 7) // 8 * 8
-            return tnn.Sequential(tnn.Linear(dim, hidden), tnn.GELU(),
-                                  tnn.Linear(hidden, dim))
-
-        ref.FeedForward = _ff
         vit_params = dict(dim=512, img_size=res, patch_size=8, n_heads=8,
                           d_head=64, depth=6, mlp_dim=2048, dropout=0.0)
-        m = ref.ViTVQGAN(vit_params,
-                         dict(codebook_dim=32, codebook_size=8192)).eval()
+        m = load_reference_vitvqgan(
+            ref_path, vit_params, dict(codebook_dim=32, codebook_size=8192))
         sd = torch.load(path, map_location="cpu", weights_only=False)
         sd = sd.get("state_dict", sd)
         m.load_state_dict(sd, strict=False)
@@ -242,12 +229,11 @@ def convert_lpips(found):
     return {"params": convert_vgg16_lpips(vgg_sd, lin_sd)}
 
 
-def section_lpips(found, imgs):
+def section_lpips(found, imgs, params):
     import jax.numpy as jnp
 
     from attention_models_tpu.training.losses import LPIPS
 
-    params = convert_lpips(found)
     noisy = np.clip(
         imgs + 0.1 * np.random.RandomState(0).randn(*imgs.shape), 0, 1
     ).astype(np.float32)
@@ -323,7 +309,7 @@ def main(argv=None):
     if "clip" in found:
         report["clip"] = section_clip(*found["clip"])
     if "vgg16" in found:
-        report["lpips"] = section_lpips(found, imgs)
+        report["lpips"] = section_lpips(found, imgs, lpips_params)
     if "inception" in found:
         report["inception"] = section_inception(*found["inception"], imgs)
 

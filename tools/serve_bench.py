@@ -54,6 +54,11 @@ def drive(submit, n_requests: int, rate_hz: float, make_input, seed0=0):
         t_next += rs.exponential(1.0 / rate_hz)
     for f in futs:
         f.result(timeout=1200)
+    # result() can return before done-callbacks fire (waiters are notified
+    # first) — wait for every latency stamp so percentiles cover all n
+    deadline = time.perf_counter() + 10.0
+    while len(lats) < n_requests and time.perf_counter() < deadline:
+        time.sleep(0.001)
     wall = time.perf_counter() - t_start
     return np.asarray(sorted(lats)), wall
 
