@@ -30,7 +30,7 @@ def main():
     ap.add_argument("--resolution", type=int, default=256)
     ap.add_argument("--dim", type=int, default=512)
     ap.add_argument("--depth", type=int, default=6)
-    ap.add_argument("--quant", default=None, choices=["int8"],
+    ap.add_argument("--quant", default=None, choices=["int8", "int8_wide"],
                     help="W8A8 int8 decode (2x MXU rate on v5e)")
     args = ap.parse_args()
 

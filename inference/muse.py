@@ -35,7 +35,7 @@ def main():
     ap.add_argument("--depth", type=int, default=16)
     ap.add_argument("--heads", type=int, default=12)
     ap.add_argument("--mult", type=int, default=8)
-    ap.add_argument("--quant", default=None, choices=["int8"],
+    ap.add_argument("--quant", default=None, choices=["int8", "int8_wide"],
                     help="W8A8 int8 decode (2x MXU rate on v5e; "
                          "per-token dynamic activation scales)")
     args = ap.parse_args()

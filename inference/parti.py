@@ -27,7 +27,7 @@ def main():
     ap.add_argument("--guidance-scale", type=float, default=0.0,
                     help="classifier-free guidance (0 = off; needs a model "
                          "trained with model.cond_keep_prob < 1)")
-    ap.add_argument("--quant", choices=["int8"], default=None,
+    ap.add_argument("--quant", choices=["int8", "int8_wide"], default=None,
                     help="W8A8 int8 decode (TPU serving fast path)")
     args = ap.parse_args()
 
