@@ -23,6 +23,15 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent executable cache for the suite: the CI box has ONE core, and
+# most of a test run is XLA recompiling the same tiny programs — re-runs
+# (the commit-gate workflow) hit the cache instead. JAX_TEST_CACHE=""
+# disables (e.g. to measure cold-compile time itself).
+_cache = os.environ.get("JAX_TEST_CACHE", "/tmp/jax_test_cache")
+if _cache:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
 
 def pytest_addoption(parser):
     parser.addoption(
