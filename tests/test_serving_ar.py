@@ -99,3 +99,17 @@ def test_slot_engine_warmup_and_close_semantics(tiny_parti):
 
     with pytest.raises(ServingError):
         eng.submit(ids[0])
+
+
+def test_slot_engine_close_fails_queued_requests(tiny_parti):
+    """close() must not strand queued futures: with the loop never started
+    (autostart=False), queued requests fail with ServingError instead of
+    hanging their callers forever."""
+    from attention_models_tpu.serving import ServingError
+
+    m, params, ids = tiny_parti
+    eng = PartiSlotEngine(m, params, slots=1, chunk_steps=2, autostart=False)
+    fut = eng.submit(ids[0], seed=0)
+    eng.close()
+    with pytest.raises(ServingError):
+        fut.result(timeout=5)
