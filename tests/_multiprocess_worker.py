@@ -15,7 +15,10 @@ seams that single-process tests can only fake:
 Replaces the reference's never-tested Accelerate multi-node story
 (/root/reference/trainers/utils/base_trainer.py:29-39).
 
-Usage: python _multiprocess_worker.py WORKDIR PROC_ID NUM_PROCS PORT
+Usage: python _multiprocess_worker.py WORKDIR PROC_ID NUM_PROCS PORT \
+           [dotted.key=value ...]
+Extra args are config overrides (e.g. ``training.fsdp=true`` to run the
+ZeRO-3 path with params/moments sharded ACROSS processes).
 Prints ``LOSSES <json list>`` from the process's metrics.jsonl on exit.
 """
 
@@ -60,6 +63,13 @@ def main():
     cfg.set_path("experiment.max_train_examples", 16)
     cfg.set_path("training.num_epochs", 3)
     cfg.set_path("experiment.eval_every", 1000000)  # train path only
+    for override in sys.argv[5:]:
+        key, _, val = override.partition("=")
+        try:
+            val = json.loads(val)  # numbers / true / false / null
+        except ValueError:
+            pass  # raw string
+        cfg.set_path(key, val)
 
     # per-process cwd: outputs/ (metrics, checkpoints) must not clobber
     os.chdir(workdir)

@@ -31,7 +31,8 @@ def _free_port() -> int:
     return port
 
 
-def _run_workers(tmp_path, n_procs: int, timeout: int = 600):
+def _run_workers(tmp_path, n_procs: int, timeout: int = 600,
+                 overrides: tuple = ()):
     """Launch n_procs workers; return their LOSSES lists."""
     port = _free_port()
     env = dict(os.environ)
@@ -43,7 +44,7 @@ def _run_workers(tmp_path, n_procs: int, timeout: int = 600):
         wd.mkdir(parents=True, exist_ok=True)
         procs.append(subprocess.Popen(
             [sys.executable, WORKER, str(wd), str(i), str(n_procs),
-             str(port)],
+             str(port), *overrides],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         ))
@@ -76,4 +77,18 @@ def test_two_process_training_matches_single_process(tmp_path):
     # same config, same seeds, same global batches → same trajectory.
     # CPU reassociation across a different device count allows tiny drift.
     assert len(one) == len(two[0])
+    np.testing.assert_allclose(two[0], one, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_two_process_fsdp_matches_single_process(tmp_path):
+    """ZeRO-3 across REAL processes: params + adam moments shard over the
+    8-device data axis spanning both processes (GSPMD all-gathers cross the
+    process boundary via Gloo), and the loss trajectory still equals the
+    single-process FSDP run."""
+    ov = ("training.fsdp=true", "training.fsdp_min_size=1")
+    two = _run_workers(tmp_path / "mp", 2, overrides=ov)
+    np.testing.assert_allclose(two[0], two[1], rtol=1e-6)
+    one = _run_workers(tmp_path / "sp", 1, overrides=ov)[0]
+    assert len(one) == len(two[0]) > 0
     np.testing.assert_allclose(two[0], one, rtol=2e-4, atol=2e-5)
