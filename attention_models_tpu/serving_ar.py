@@ -272,9 +272,19 @@ class PartiSlotEngine:
         """Stop accepting work; in-flight requests drain, then any still-
         queued requests (loop never started, or a submit raced close) fail
         with ServingError rather than hanging their callers forever."""
-        self._closed = True
-        if self._thread is not None:
-            self._thread.join(timeout=timeout)
+        with self._lock:  # serialize vs submit()'s check-then-enqueue
+            self._closed = True
+        thread = self._thread
+        if thread is not None:
+            thread.join(timeout=timeout)
+            if thread.is_alive():
+                # join timed out with the scheduler still running: keep the
+                # handle so a later start() can't spawn a second loop thread
+                # concurrently mutating _owners and the queue.
+                raise ServingError(
+                    f"{self.name}: scheduler did not stop within "
+                    f"{timeout}s; engine left in closing state"
+                )
             self._thread = None
         while True:
             try:
@@ -294,18 +304,22 @@ class PartiSlotEngine:
     def submit(self, text_ids: np.ndarray, seed: int = 0) -> Future:
         """Enqueue one request. ``text_ids``: (max_length,) int32 (see
         text_encoder.tokenize). Future resolves to one (3, H, W) image."""
-        if self._closed:
-            raise ServingError("submit() after close()")
         fut: Future = Future()
-        try:
-            self._q.put_nowait(_Request(
-                np.asarray(text_ids, np.int32), int(seed), fut,
-                time.perf_counter(),
-            ))
-        except queue.Full:
-            raise ServingError(
-                f"queue full ({self._q.maxsize} requests waiting)"
-            ) from None
+        # _closed check + enqueue under the lock: otherwise a request
+        # enqueued after close() drained the queue leaves its Future
+        # unresolved forever (caller's result() with no timeout hangs).
+        with self._lock:
+            if self._closed:
+                raise ServingError("submit() after close()")
+            try:
+                self._q.put_nowait(_Request(
+                    np.asarray(text_ids, np.int32), int(seed), fut,
+                    time.perf_counter(),
+                ))
+            except queue.Full:
+                raise ServingError(
+                    f"queue full ({self._q.maxsize} requests waiting)"
+                ) from None
         return fut
 
     def __call__(self, text_ids, seed: int = 0, timeout: float = 600.0):

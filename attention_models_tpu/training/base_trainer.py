@@ -312,6 +312,16 @@ class BaseTrainer:
         )
         return shard_pytree(state, shardings), shardings
 
+    def eval_rng(self, tag: int, i: int = 0):
+        """Eval/sampling key folded from the CURRENT host-rng position
+        WITHOUT advancing the stream: how many keys an eval draws (e.g.
+        ``training.eval_fid`` adding decode batches) can then never shift
+        the subsequent training trajectory of a fixed-seed run (ADVICE r3).
+        ``tag`` namespaces independent eval consumers; ``i`` the batch."""
+        import jax
+
+        return jax.random.fold_in(self.rng.fold_in(tag), i)
+
     def log_image_grid(self, images, path: str, name: str, nrow: int = 6):
         """Save a sample grid to disk AND log it to TB/wandb — the
         reference logs generated grids as wandb.Image during training

@@ -364,7 +364,8 @@ class MaskGitTrainer(_GeneratorTrainer):
             img_d = self.shard_batch(img_p)
             losses.append(float(self._val_loss_step(self.eval_params(),
                                                     img_d)))
-            rec = self._recon_step(self.eval_params(), img_d, self.rng())
+            rec = self._recon_step(self.eval_params(), img_d,
+                                   self.eval_rng(1, i))
             rec = np.asarray(rec, np.float32)
             if self.eval_fid_on:
                 real_f.append(self.fid_features(img_p)[:n])
@@ -459,7 +460,8 @@ class MuseTrainer(_GeneratorTrainer):
             batch = batch + [""] * (chunk - len(batch))  # static shape
             ids = jnp.array(tokenize(batch, self.max_length))
             outs.append(np.asarray(
-                self._generate_step(self.eval_params(), ids, self.rng()),
+                self._generate_step(self.eval_params(), ids,
+                                    self.eval_rng(2, s)),
                 np.float32,
             ))
         imgs = np.concatenate(outs)[: len(prompts)]
@@ -481,7 +483,7 @@ class MuseTrainer(_GeneratorTrainer):
                 self.shard_batch(img_p),
             )))
             imgs = self._generate_step(self.eval_params(), jnp.array(ids),
-                                       self.rng())
+                                       self.eval_rng(1, i))
             imgs = np.asarray(imgs, np.float32)
             if self.eval_fid_on:
                 # text-conditioned generation vs the real val images — the
@@ -582,7 +584,7 @@ class PartiTrainer(_GeneratorTrainer):
                     self.shard_batch(img_p),
                 )))
             imgs = parti_generate(self.model, {"params": self.eval_params()},
-                                  jnp.array(ids), self.rng())
+                                  jnp.array(ids), self.eval_rng(1, i))
             imgs = np.asarray(imgs, np.float32)
             if self.eval_fid_on:
                 real_f.append(self.fid_features(img_p)[:n])

