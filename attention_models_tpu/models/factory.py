@@ -52,12 +52,24 @@ def _vq_config(cfg):
 
 
 def load_vq_checkpoint(path: str, depth: int):
-    """Convert a reference ``VitVQGAN.pt`` (or return None when absent —
-    offline dev environments train their own)."""
+    """Frozen-tokenizer weights for the generators: either a reference
+    ``VitVQGAN.pt`` (torch-converted) or an ORBAX checkpoint directory
+    from this framework's own VQGANTrainer run (``g_params`` subtree, EMA
+    preferred) — train the tokenizer here, then train generators on it
+    with no torch round-trip. Returns None when absent (offline dev
+    environments keep the random init)."""
     if not path or not os.path.exists(path):
         log.warning("VQ checkpoint %s not found; frozen tokenizer keeps its "
                     "random init", path)
         return None
+    if os.path.isdir(path):
+        from attention_models_tpu.utils.checkpoint import CheckpointManager
+
+        params = CheckpointManager(path).restore_params_auto()
+        if params is None:
+            log.warning("orbax dir %s holds no checkpoint; frozen tokenizer "
+                        "keeps its random init", path)
+        return params
     import torch
 
     from attention_models_tpu.utils.torch_convert import (

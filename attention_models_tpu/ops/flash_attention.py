@@ -20,6 +20,8 @@ from __future__ import annotations
 import functools
 import math
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -145,6 +147,20 @@ def _fwd_core(
         jnp.full((block_q, 1), NEG_INF, jnp.float32),
         jnp.zeros((block_q, 1), jnp.float32),
     )
+    # Static trip counts (non-causal: cdiv of two Python ints) UNROLL in
+    # Python: a lax.fori_loop is a scheduling barrier in Mosaic, so with
+    # the loop in place every head's scores-matmul -> softmax -> PV chain
+    # executes serialized, and the VPU softmax of head i can never overlap
+    # the MXU matmuls of head i+1. Unrolled, the whole multi-head body is
+    # one basic block and the scheduler hides VPU time under the MXU
+    # (measured: 1.71 -> ~1.2 ms/layer on the ViTVQGAN recon forward at
+    # b=64 t=1024 h=8 d=64, bq=512, single k-block). Causal trip counts
+    # are traced (depend on program_id) and keep the loop.
+    if isinstance(num_k_blocks, (int, np.integer)) and num_k_blocks <= 8:
+        carry = init
+        for kb in range(num_k_blocks):
+            carry = body(kb, carry)
+        return carry
     return jax.lax.fori_loop(0, num_k_blocks, body, init)
 
 
@@ -225,6 +241,18 @@ def _flash_kernel_mh_kv(
         max_col = (q_idx + 1) * block_q + (tk - tq)
         num_k_blocks = (jnp.minimum(max_col, tk) + block_k - 1) // block_k
 
+    # Scheduling note (r4 experiments, ViTVQGAN recon fwd b=64 t=1024 h=8
+    # d=64, in-model device_duration): the per-head chain below measures
+    # 1.712 ms/layer = EXACTLY the serial sum of its parts (MXU scores+PV
+    # at the d=64 half-depth rate 1.39 ms + softmax VPU passes 0.33 ms).
+    # A phase-separated emission (all heads' score matmuls, then all
+    # softmaxes, then all PVs — maximal scheduler freedom to overlap VPU
+    # with MXU) measured 21.3/12 = 1.78 ms/layer, i.e. WORSE: Mosaic
+    # executes ops serially in emission order and the extra live (bq, tk)
+    # fp32 score buffers only cost VMEM. The same held for the fused FFN
+    # kernel (ops/ffn.py). Conclusion: these kernels sit AT the
+    # serial-execution roofline; further gains need fewer VPU ops, not
+    # reordering. See docs/ROADMAP.md r4 roofline.
     for hi in range(h):
         sl = slice(hi * d, (hi + 1) * d)
         q = q_ref[0, :, sl]

@@ -110,6 +110,31 @@ class CheckpointManager:
             params = {**params, **restored["ema"]}
         return params
 
+    def restore_params_auto(self, keys=("g_params", "params"),
+                            prefer_ema: bool = True, step: int | None = None):
+        """``restore_params`` for callers holding NO live template: leaf
+        shapes/dtypes come from the checkpoint's own metadata. Used by the
+        model factory to load a frozen tokenizer straight from another
+        run's orbax directory (train the ViTVQGAN here, then train
+        MaskGIT/Muse/Parti on it — no torch round-trip)."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return None
+        disk = dict(
+            ocp.StandardCheckpointer().metadata(
+                self._item_path(step)).item_metadata
+        )
+        key = next((k for k in keys if k in disk), None)
+        if key is None:
+            raise KeyError(
+                f"checkpoint has none of {keys}; on disk: {sorted(disk)}"
+            )
+        template = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), dict(disk[key])
+        )
+        return self.restore_params(template, key=key, prefer_ema=prefer_ema,
+                                   step=step)
+
     def _item_path(self, step: int) -> str:
         cand = os.path.join(self._dir, str(step))
         if not os.path.isdir(cand):  # zero-padded step-name formats
