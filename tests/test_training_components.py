@@ -121,6 +121,33 @@ def test_checkpoint_roundtrip(tmp_path):
     assert jax.tree.structure(restored["opt"]) == jax.tree.structure(state["opt"])
 
 
+def test_factory_loads_frozen_vq_from_orbax_dir(tmp_path):
+    """load_vq_checkpoint accepts an ORBAX run directory (the output of
+    this framework's own VQGANTrainer): restore_params_auto rebuilds the
+    g_params subtree from checkpoint metadata alone (no live template) and
+    prefers EMA weights when present — so generators can train over a
+    tokenizer trained here without any torch round-trip."""
+    from attention_models_tpu.models.factory import load_vq_checkpoint
+    from attention_models_tpu.utils.checkpoint import CheckpointManager
+
+    g_params = {"encoder": {"w": jnp.arange(6.0).reshape(2, 3)},
+                "codebook": {"embedding": jnp.ones((4, 2))}}
+    state = {"step": 11, "g_params": g_params,
+             "ema": {"encoder": {"w": jnp.full((2, 3), 5.0)}}}
+    mgr = CheckpointManager(str(tmp_path / "run"))
+    mgr.save(11, state)
+    mgr.wait()
+
+    restored = load_vq_checkpoint(str(tmp_path / "run"), depth=6)
+    # EMA overlay wins for the subtree it covers
+    np.testing.assert_array_equal(np.asarray(restored["encoder"]["w"]),
+                                  np.full((2, 3), 5.0))
+    np.testing.assert_array_equal(np.asarray(restored["codebook"]["embedding"]),
+                                  np.ones((4, 2)))
+    # missing path -> None (random-init tokenizer), not an exception
+    assert load_vq_checkpoint(str(tmp_path / "nope"), depth=6) is None
+
+
 def test_max_grad_norm_clips_update():
     """training.max_grad_norm must actually bound the gradient entering the
     optimizer (optax.clip_by_global_norm chained FIRST in build_optimizer).
