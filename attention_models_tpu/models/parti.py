@@ -239,10 +239,10 @@ _RUN_CACHE_MAX = 16
 
 
 def _parti_run(model: Parti, filter_p: float, approx_topk: bool,
-               guidance_scale: float = 0.0):
+               guidance_scale: float = 0.0, temperature: float = 1.0):
     try:
         key = (id(model), float(filter_p), bool(approx_topk),
-               float(guidance_scale))
+               float(guidance_scale), float(temperature))
     except (TypeError, jax.errors.ConcretizationTypeError):
         # filter_p/approx_topk is a tracer (parti_generate called under an
         # outer jit with traced knobs): skip the cache, close over the
@@ -270,6 +270,10 @@ def _parti_run(model: Parti, filter_p: float, approx_topk: bool,
             "parti_generate with a concrete float, outside jit or as a "
             "static argument."
         ) from e
+    try:
+        greedy = temperature == 0
+    except jax.errors.TracerBoolConversionError:
+        greedy = False  # traced temperature: keep the sampling program
 
     @jax.jit
     def run(variables, text_ids, rng):
@@ -302,11 +306,15 @@ def _parti_run(model: Parti, filter_p: float, approx_topk: bool,
             if cfg_on:
                 cond, null = last[:b], last[b:]
                 last = null + guidance_scale * (cond - null)
-            nxt = gumbel_argmax(
-                rngs[i],
-                filter_logits(last, filter_p, approx=approx_topk),
-                1.0,
-            )  # (b,)
+            filt = filter_logits(last, filter_p, approx=approx_topk)
+            if greedy:
+                # temperature 0: deterministic argmax decode — the right
+                # eval mode for memorization/overfit checks (one sampled
+                # off-distribution token derails a free-running AR decode
+                # even at train loss ~1e-3) and a standard serving knob
+                nxt = jnp.argmax(filt, axis=-1).astype(jnp.int32)
+            else:
+                nxt = gumbel_argmax(rngs[i], filt, temperature)  # (b,)
             indices = jax.lax.dynamic_update_slice(indices, nxt[:, None], (0, i))
             emb = model.apply(variables, nxt[:, None],
                               method=lambda m, ix: m.token_emb(ix))
@@ -332,6 +340,7 @@ def parti_generate(
     filter_p: float = 0.9,
     approx_topk: bool = True,
     guidance_scale: float = 0.0,
+    temperature: float = 1.0,
 ) -> jnp.ndarray:
     """AR generation with a KV cache: one jitted lax.fori_loop over
     num_patches single-token decoder steps, then VQ decode. The jitted
@@ -342,7 +351,9 @@ def parti_generate(
     ``null + g*(cond - null)`` (MUSE's rule; the reference's Parti never
     implemented its CFG TODO, /root/reference/models/parti.py:47). Train with
     ``cond_keep_prob < 1`` so the null stream is meaningful; ``g = 1`` is
-    exactly the conditional stream (reduces to the unguided decode)."""
-    return _parti_run(model, filter_p, approx_topk, guidance_scale)(
-        variables, text_ids, rng
-    )
+    exactly the conditional stream (reduces to the unguided decode).
+
+    ``temperature`` scales the gumbel noise (the reference hardcodes tau=1,
+    parti.py:149); ``0.0`` switches to deterministic argmax decode."""
+    return _parti_run(model, filter_p, approx_topk, guidance_scale,
+                      temperature)(variables, text_ids, rng)

@@ -583,8 +583,15 @@ class PartiTrainer(_GeneratorTrainer):
                     self.eval_params(), self.shard_batch(ids),
                     self.shard_batch(img_p),
                 )))
-            imgs = parti_generate(self.model, {"params": self.eval_params()},
-                                  jnp.array(ids), self.eval_rng(1, i))
+            imgs = parti_generate(
+                self.model, {"params": self.eval_params()},
+                jnp.array(ids), self.eval_rng(1, i),
+                # eval decode temperature (0 = argmax): free-running AR
+                # decode of an overfit model derails under tau=1 sampling
+                # even at train loss ~1e-3 — the overfit configs eval greedy
+                temperature=float(
+                    self.cfg.training.get("eval_temperature", 1.0)),
+            )
             imgs = np.asarray(imgs, np.float32)
             if self.eval_fid_on:
                 real_f.append(self.fid_features(img_p)[:n])

@@ -29,6 +29,8 @@ def main():
                          "trained with model.cond_keep_prob < 1)")
     ap.add_argument("--quant", choices=["int8", "int8_wide"], default=None,
                     help="W8A8 int8 decode (TPU serving fast path)")
+    ap.add_argument("--temperature", type=float, default=1.0,
+                    help="gumbel sampling temperature (0 = argmax decode)")
     args = ap.parse_args()
 
     import jax
@@ -69,7 +71,8 @@ def main():
             variables = apply_param_patches(variables, {"vq": vq})
 
     imgs = parti_generate(model, variables, ids, jax.random.key(2),
-                          guidance_scale=args.guidance_scale)
+                          guidance_scale=args.guidance_scale,
+                          temperature=args.temperature)
     from PIL import Image
 
     arr = (np.clip(np.asarray(imgs, np.float32)[0], 0, 1) * 255).astype(

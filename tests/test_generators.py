@@ -240,6 +240,27 @@ def test_parti_cfg_scale_one_equals_unguided():
     assert np.all(np.isfinite(np.asarray(cfg3)))
 
 
+def test_parti_temperature_zero_is_deterministic_argmax():
+    """temperature=0 must decode greedily: rng-independent output, and
+    different from the tau=1 sampled decode's dependence on rng. This is
+    the eval mode the overfit configs use (training.eval_temperature) —
+    free-running AR decode of a memorized model derails under sampling."""
+    vq_cfg = dict(kind="vitvqgan", **TINY_VQ)
+    m = Parti(dim=32, vq_config=vq_cfg, max_length=8, n_heads=2, d_head=16,
+              depth=1, **TINY_CLIP)
+    ids = jnp.array(tokenize(["x", "y"], max_length=8))
+    imgs = jnp.array(np.random.RandomState(0).rand(2, 3, 16, 16), jnp.float32)
+    params = m.init(jax.random.key(0), ids, imgs, method=Parti.init_all)
+
+    g0a = parti_generate(m, params, ids, jax.random.key(1), temperature=0.0)
+    g0b = parti_generate(m, params, ids, jax.random.key(2), temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(g0a), np.asarray(g0b))
+
+    s1 = parti_generate(m, params, ids, jax.random.key(1))
+    s2 = parti_generate(m, params, ids, jax.random.key(2))
+    assert not np.array_equal(np.asarray(s1), np.asarray(s2))
+
+
 def test_parti_cond_keep_prob_drops_context_in_training():
     """cond_keep_prob < 1 zeroes some samples' text context during training
     (the CFG null stream's training signal, MUSE semantics); deterministic
