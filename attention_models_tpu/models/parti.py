@@ -7,8 +7,14 @@ sequence. Generation is KV-cached single-token decode (the reference
 re-forwards the whole growing prefix each step and discards its init/final
 norm results — both fixed per SURVEY.md §2.9#9; norms are applied here).
 
-Reference quirk kept: ``context_norm`` is applied in training forward but NOT
-in generate (parti.py:99 vs 131).
+Reference quirk FIXED (round 4): the reference applies ``context_norm`` in
+the training forward but not in generate (parti.py:99 vs 131) — cross-
+attention then sees differently-scaled context at decode time than it was
+trained on. Measured on the coco_mini overfit run: with the quirk kept, a
+model at teacher-forced CE 3e-3 free-runs into token noise on 6/8 captions
+(deterministically — greedy decode fails identically); with context_norm
+applied in generate, the same checkpoint reproduces its training images.
+Same resolution class as SURVEY.md §2.9#9 (apply the computed norms).
 """
 
 from __future__ import annotations
@@ -211,8 +217,11 @@ class Parti(nn.Module):
         return self.to_logits(x)
 
     def prepare_context(self, text_ids):
-        # reference generate() skips context_norm (parti.py:131) — kept
-        return self.text_encoder(text_ids)
+        # context_norm applied, matching the training forward (the
+        # reference's generate skips it, parti.py:131 — a train/decode
+        # mismatch that measurably breaks free-running decode; module
+        # docstring has the experiment)
+        return self.context_norm(self.text_encoder(text_ids))
 
     def embed_token(self, indices, pos):
         """Embed one generated token for step pos (position pos in the PE
