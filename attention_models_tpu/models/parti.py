@@ -9,12 +9,21 @@ norm results — both fixed per SURVEY.md §2.9#9; norms are applied here).
 
 Reference quirk FIXED (round 4): the reference applies ``context_norm`` in
 the training forward but not in generate (parti.py:99 vs 131) — cross-
-attention then sees differently-scaled context at decode time than it was
-trained on. Measured on the coco_mini overfit run: with the quirk kept, a
-model at teacher-forced CE 3e-3 free-runs into token noise on 6/8 captions
-(deterministically — greedy decode fails identically); with context_norm
-applied in generate, the same checkpoint reproduces its training images.
-Same resolution class as SURVEY.md §2.9#9 (apply the computed norms).
+attention would see differently-scaled context at decode time than it was
+trained on. Applied in ``prepare_context`` now, same resolution class as
+SURVEY.md §2.9#9 (apply the computed norms). (Empirically the drift is
+small because the CLIP tower's own final LN already normalizes, but a
+train/decode mismatch is a latent bug either way.)
+
+Decode-robustness note (r4 coco_mini experiment): the KV-cache path is
+numerically faithful — first-step logits match the teacher-forced forward
+to bf16 noise (0.09 absolute on the trained checkpoint) with identical
+argmax — but free-running AR decode needs per-token accuracy far above
+teacher-forced CE suggests: at 99% TF token accuracy (~CE 3e-3), greedy
+decode compounds ~10 early errors over 1024 steps and can derail
+off-manifold, which iterative bidirectional decoders (MaskGIT/Muse)
+self-correct by design. Train AR overfits to ~99.9% token accuracy
+(longer cosine decay) before expecting pixel-faithful free-running decode.
 """
 
 from __future__ import annotations
