@@ -657,8 +657,19 @@ def _real_data_gan_bench(log, model, params, over_budget):
         seen += len(np_imgs)
     sync(g_params)
     dt = _time.perf_counter() - t0
+    # attribute the gap: time ONE host->device batch transfer. Through the
+    # axon tunnel h2d goes over the wire (MB/s, not PCIe GB/s) and bounds
+    # the end-to-end number; a production host's DMA makes this free.
+    np_b = np.asarray(batch[0] if isinstance(batch, (tuple, list)) else batch)
+    t1 = _time.perf_counter()
+    x = jnp.asarray(np_b, jnp.bfloat16)
+    sync(x)
+    h2d = _time.perf_counter() - t1
+    mbps = np_b.size * 2 / h2d / 1e6
     log(f"real-data GAN train end-to-end bs={bs}: {seen / dt:.0f} imgs/s "
-        f"(host pipeline alone: {host_ips:.0f}/s)")
+        f"(host pipeline alone: {host_ips:.0f}/s; h2d transfer "
+        f"{h2d * 1e3:.0f} ms/batch = {mbps:.0f} MB/s -> "
+        f"{bs / h2d:.0f} imgs/s tunnel ceiling)")
 
 
 _MUSE_BS32_SCRIPT = r'''
@@ -855,7 +866,12 @@ def main():
             return out
 
         dt = time_fn(recon_chain, params, xs, iters=4) / S
-        fl = compiled_flops(recon_chain, params, xs) / S
+        # per-step FLOPs from the SINGLE-step executable: XLA cost analysis
+        # reports a scan body once (not x trip count), so dividing the
+        # chained program's count by S would undercount 8x
+        imgs1 = jnp.array(
+            np.random.RandomState(0).rand(best_bs, 3, 256, 256), jnp.bfloat16)
+        fl = compiled_flops(recon, params, imgs1)
         ips = best_bs / dt
         log(f"recon bs={best_bs} chained x{S} (device steady-state): "
             f"{dt * 1e3:.2f} ms/step  {ips:.0f} imgs/s{mfu_str(fl, dt)}")
