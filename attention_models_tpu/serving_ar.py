@@ -64,6 +64,26 @@ import numpy as np
 from attention_models_tpu.serving import ServingError
 
 
+def _fail(fut: Future, exc: BaseException) -> None:
+    """Fail ``fut`` unless it is cancelled or already resolved. close()'s
+    best-effort drain can race a wedged-then-recovered scheduler thread on
+    the same Future; losing that race must not raise InvalidStateError in
+    either thread."""
+    try:
+        if not fut.cancelled():
+            fut.set_exception(exc)
+    except Exception:  # noqa: BLE001 — InvalidStateError: already resolved
+        pass
+
+
+def _succeed(fut: Future, result) -> None:
+    try:
+        if not fut.cancelled():
+            fut.set_result(result)
+    except Exception:  # noqa: BLE001 — InvalidStateError: already resolved
+        pass
+
+
 @dataclass
 class _Request:
     text_ids: np.ndarray
@@ -280,19 +300,28 @@ class PartiSlotEngine:
             if thread.is_alive():
                 # join timed out with the scheduler still running: keep the
                 # handle so a later start() can't spawn a second loop thread
-                # concurrently mutating _owners and the queue.
+                # concurrently mutating _owners and the queue. Before
+                # raising, best-effort fail everything still queued — a
+                # WEDGED (not merely slow) scheduler will never pop these,
+                # and callers blocked on result() must not hang (ADVICE r4).
+                # Racy vs a still-live loop by construction, but the loop
+                # tolerates externally-resolved futures.
+                self._drain_queue()
                 raise ServingError(
                     f"{self.name}: scheduler did not stop within "
-                    f"{timeout}s; engine left in closing state"
+                    f"{timeout}s; engine left in closing state "
+                    f"(queued requests failed best-effort)"
                 )
             self._thread = None
+        self._drain_queue()
+
+    def _drain_queue(self):
         while True:
             try:
                 req = self._q.get_nowait()
             except queue.Empty:
                 break
-            if not req.future.cancelled():
-                req.future.set_exception(ServingError("engine closed"))
+            _fail(req.future, ServingError("engine closed"))
 
     def __enter__(self):
         return self
@@ -355,8 +384,7 @@ class PartiSlotEngine:
         except Exception as e:  # noqa: BLE001
             with self._lock:
                 self._stats["errors"] += 1
-            if not req.future.cancelled():
-                req.future.set_exception(e)
+            _fail(req.future, e)
             return state
         self._owners[s] = req
         return new_state
@@ -370,8 +398,8 @@ class PartiSlotEngine:
                 pos = np.asarray(state["pos"])
             except Exception as e:  # noqa: BLE001 — poisoned state
                 for s, req in enumerate(self._owners):
-                    if req is not None and not req.future.cancelled():
-                        req.future.set_exception(e)
+                    if req is not None:
+                        _fail(req.future, e)
                     self._owners[s] = None
                 with self._lock:
                     self._stats["errors"] += 1
@@ -383,8 +411,7 @@ class PartiSlotEngine:
                     continue
                 try:
                     img = np.asarray(self._vq_decode(state["indices"][s]))
-                    if not req.future.cancelled():
-                        req.future.set_result(img)
+                    _succeed(req.future, img)
                     with self._lock:
                         self._stats["requests"] += 1
                         self._latencies.append(
@@ -392,8 +419,7 @@ class PartiSlotEngine:
                 except Exception as e:  # noqa: BLE001
                     with self._lock:
                         self._stats["errors"] += 1
-                    if not req.future.cancelled():
-                        req.future.set_exception(e)
+                    _fail(req.future, e)
                 self._owners[s] = None
 
             # admit new requests into free slots
@@ -432,8 +458,8 @@ class PartiSlotEngine:
                 with self._lock:
                     self._stats["errors"] += n_active
                 for s, req in enumerate(self._owners):
-                    if req is not None and not req.future.cancelled():
-                        req.future.set_exception(e)
+                    if req is not None:
+                        _fail(req.future, e)
                     self._owners[s] = None
                 state = self._state
                 continue

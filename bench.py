@@ -9,9 +9,18 @@ in INFORMATION-VALUE order (training steps before int8/encode variants), so
 a budget cut loses the least important numbers first:
 
     recon sweep (+MFU) → headline JSON → encode-only → GAN train sweep →
-    real-data GAN train → Muse train sweep → ViT/ViT-MoE train →
-    decode latency (+ int8 A/B) → flash long-context → muse bs=32 probe
-    (subprocess-isolated, last: an OOM there can poison the HBM pool)
+    real-data GAN train → Muse train sweep → decode latency (+ int8 A/B) →
+    ViT train → [subprocess-isolated, one case per process: ViT-MoE
+    dense/scatter A/B → flash long-context → muse bs=32 probe]
+
+Blast-radius rule (VERDICT r4 #1: an in-process vit_moe OOM cascaded
+RESOURCE_EXHAUSTED through every later r4 section — this tunneled backend
+does not reliably return HBM to the process after an execution OOM): every
+OOM-capable probe runs via ``--section`` in its OWN subprocess, one case
+per process, AFTER all safe in-process sections. A child OOM costs exactly
+its own line. Children share /tmp/jax_cache, log human lines to stderr
+(relayed) and a machine ``RESULT {json}`` line to stdout (parsed for
+cross-case verdicts like the MoE dispatch winner).
 
 Every line carries achieved TFLOP/s and %-of-peak MFU from the compiled
 executable's own cost analysis (VERDICT r3 #1).
@@ -303,79 +312,84 @@ def _muse_train_step_bench(log, time_fn, over_budget):
             f"{best[2]}")
 
 
-def _vit_train_bench(log, time_fn, over_budget):
-    """ViT and ViT-MoE classifier training steps (CE + adamw, 256px bf16)
-    at the cfg/vit.yaml scale (dim 1024, patch 32, heads 16, depth 6) —
-    the reference's classifier workload (trainers/vit.py) — plus the MoE
-    dispatch A/B the vectorized top-k rewrite deserves (VERDICT r3 #4):
-    dense one-hot combine vs capacity-bucketed scatter at 32 experts/top-2
-    (the torch.where loops being replaced: /root/reference/models/moe.py:
-    31-36, switchhead_attention.py:58-88)."""
-    import jax
+def _vit_model(kind):
+    """Classifier model at the cfg/vit.yaml scale (dim 1024, patch 32,
+    heads 16, depth 6) — the reference's classifier workload
+    (/root/reference/trainers/vit.py) — and the two MoE dispatch variants
+    of the vectorized top-k rewrite (VERDICT r3 #4; the torch.where loops
+    being replaced: /root/reference/models/moe.py:31-36,
+    switchhead_attention.py:58-88)."""
     import jax.numpy as jnp
-    import optax
 
     from attention_models_tpu.models.vit import ViT
     from attention_models_tpu.models.vit_moe import ViTMoE
 
-    res = 256
-    common = dict(image_size=res, patch_size=32, n_heads=16, d_head=64,
+    common = dict(image_size=256, patch_size=32, n_heads=16, d_head=64,
                   depth=6, num_classes=1000, dtype=jnp.bfloat16)
-    cases = [
-        ("vit", ViT(dim=1024, mlp_dim=2048, dropout=0.0, **common), (64, 256)),
-        ("vit_moe[dense]",
-         ViTMoE(dim=1024, n_experts=32, sel_experts=2, moe_impl="dense",
-                **common), (64, 256)),
-        ("vit_moe[scatter]",
-         ViTMoE(dim=1024, n_experts=32, sel_experts=2, moe_impl="scatter",
-                capacity_factor=None, **common), (64, 256)),
-    ]
-    best = {}
-    for name, model, batches in cases:
-        if over_budget(f"{name} train"):
+    if kind == "vit":
+        return ViT(dim=1024, mlp_dim=2048, dropout=0.0, **common)
+    if kind == "vit_moe_dense":
+        return ViTMoE(dim=1024, n_experts=32, sel_experts=2,
+                      moe_impl="dense", **common)
+    if kind == "vit_moe_scatter":
+        return ViTMoE(dim=1024, n_experts=32, sel_experts=2,
+                      moe_impl="scatter", capacity_factor=None, **common)
+    raise ValueError(kind)
+
+
+def _vit_case(kind: str, bs: int) -> dict:
+    """One classifier train-step measurement (CE + adamw, 256px bf16) at
+    ONE batch size — the unit of subprocess isolation for the OOM-capable
+    MoE variants."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    res = 256
+    model = _vit_model(kind)
+    params = _synth_params(model, model.init, jax.random.key(0),
+                           jnp.zeros((2, 3, res, res), jnp.bfloat16))
+    tx = optax.adamw(1e-4)
+    opt = tx.init(params["params"])
+
+    @jax.jit
+    def step(p, opt, imgs, labels):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, imgs)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits.astype(jnp.float32), labels).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, opt2 = tx.update(grads, opt, p)
+        return optax.apply_updates(p, updates), opt2, loss
+
+    imgs = jnp.array(np.random.RandomState(0).rand(
+        bs, 3, res, res), jnp.bfloat16)
+    labels = jnp.array(
+        np.random.RandomState(1).randint(0, 1000, bs), jnp.int32)
+    args = (params["params"], opt, imgs, labels)
+    dt = time_fn(step, *args, iters=10)
+    fl = compiled_flops(step, *args)
+    return {"name": kind, "bs": bs, "ms": round(dt * 1e3, 1),
+            "ips": round(bs / dt, 1),
+            "mfu": round(fl / dt / PEAK_BF16, 3) if fl else None}
+
+
+def _vit_train_bench(log, time_fn, over_budget):
+    """Plain-ViT classifier train sweep, in-process (measured OOM-safe at
+    this scale in r3/r4). The MoE variants run as subprocess sections."""
+    for bs in (64, 256):
+        if over_budget(f"vit train bs={bs}"):
             return
-        params = _synth_params(model, model.init, jax.random.key(0),
-                               jnp.zeros((2, 3, res, res), jnp.bfloat16))
-        tx = optax.adamw(1e-4)
-        opt = tx.init(params["params"])
-
-        def make_step(model=model, tx=tx):
-            @jax.jit
-            def step(p, opt, imgs, labels):
-                def loss_fn(p):
-                    logits = model.apply({"params": p}, imgs)
-                    return optax.softmax_cross_entropy_with_integer_labels(
-                        logits.astype(jnp.float32), labels).mean()
-                loss, grads = jax.value_and_grad(loss_fn)(p)
-                updates, opt2 = tx.update(grads, opt, p)
-                return optax.apply_updates(p, updates), opt2, loss
-            return step
-
-        step = make_step()
-        for bs in batches:
-            try:
-                imgs = jnp.array(np.random.RandomState(0).rand(
-                    bs, 3, res, res), jnp.bfloat16)
-                labels = jnp.array(
-                    np.random.RandomState(1).randint(0, 1000, bs), jnp.int32)
-                args = (params["params"], opt, imgs, labels)
-                dt = time_fn(step, *args, iters=10)
-                fl = compiled_flops(step, *args)
-                ips = bs / dt
-                log(f"{name} train step bs={bs}: {dt * 1e3:.1f} ms "
-                    f"({ips:.0f} imgs/s){mfu_str(fl, dt)}")
-                if ips > best.get(name, (0.0, 0))[0]:
-                    best[name] = (ips, bs)
-            except Exception as e:
-                log(f"{name} train bs={bs}: failed "
-                    f"({type(e).__name__}: {str(e)[:120]})")
-                _reclaim()
-                break
-    if "vit_moe[dense]" in best and "vit_moe[scatter]" in best:
-        d, s = best["vit_moe[dense]"][0], best["vit_moe[scatter]"][0]
-        log(f"vit_moe dispatch winner at 32 experts/top-2: "
-            f"{'dense' if d >= s else 'scatter'} "
-            f"({max(d, s) / max(min(d, s), 1e-9):.2f}x)")
+        try:
+            r = _vit_case("vit", bs)
+            mfu = f" | {100 * r['mfu']:.0f}% MFU" if r["mfu"] else ""
+            log(f"vit train step bs={bs}: {r['ms']} ms "
+                f"({r['ips']:.0f} imgs/s){mfu}")
+        except Exception as e:
+            log(f"vit train bs={bs}: failed "
+                f"({type(e).__name__}: {str(e)[:120]})")
+            _reclaim()
+            return
 
 
 def _flash_longcontext_bench(log, time_fn, over_budget):
@@ -609,11 +623,13 @@ def _real_data_gan_bench(log, model, params, over_budget):
             "training": {"seed": 0},
         })
 
+    host_path = "native-c++"
     try:
         train_dl, _ = build_loader(make_cfg(True))
     except Exception as e:  # native lib missing etc. — fall back to PIL
         log(f"native pipeline unavailable ({e}); falling back to PIL")
         train_dl, _ = build_loader(make_cfg(False))
+        host_path = "PIL"
 
     # (a) host pipeline only: JPEG read+decode+resize+crop+flip+collate
     n_batches = 12
@@ -627,8 +643,8 @@ def _real_data_gan_bench(log, model, params, over_budget):
         seen += len(imgs)
     dt_host = _time.perf_counter() - t0
     host_ips = seen / dt_host
-    log(f"real-data host pipeline (decode+augment, 1 CPU core): "
-        f"{host_ips:.0f} imgs/s")
+    log(f"real-data host pipeline (decode+augment, 1 CPU core, "
+        f"{host_path}): {host_ips:.0f} imgs/s")
 
     if over_budget("real-data GAN train"):
         return
@@ -657,91 +673,161 @@ def _real_data_gan_bench(log, model, params, over_budget):
         seen += len(np_imgs)
     sync(g_params)
     dt = _time.perf_counter() - t0
-    # attribute the gap: time ONE host->device batch transfer. Through the
-    # axon tunnel h2d goes over the wire (MB/s, not PCIe GB/s) and bounds
-    # the end-to-end number; a production host's DMA makes this free.
+    e2e_ips = seen / dt
+    # Attribute the gap (VERDICT r4 #5: the r4 single-shot transfer timing
+    # caught an 11.5 s pathological window and printed a "3 imgs/s ceiling"
+    # next to a measured 95 imgs/s). Median-of-5 h2d transfers + a timed
+    # device step, reconciled against the measured end-to-end rate with the
+    # serial cost model (the train loop device_puts synchronously, so each
+    # batch pays step + h2d; only host decode overlaps via prefetch).
     np_b = np.asarray(batch[0] if isinstance(batch, (tuple, list)) else batch)
-    t1 = _time.perf_counter()
-    x = jnp.asarray(np_b, jnp.bfloat16)
-    sync(x)
-    h2d = _time.perf_counter() - t1
+    h2ds = []
+    for _ in range(5):
+        t1 = _time.perf_counter()
+        x = jnp.asarray(np_b, jnp.bfloat16)
+        sync(x)
+        h2ds.append(_time.perf_counter() - t1)
+    h2d = sorted(h2ds)[len(h2ds) // 2]
     mbps = np_b.size * 2 / h2d / 1e6
-    log(f"real-data GAN train end-to-end bs={bs}: {seen / dt:.0f} imgs/s "
-        f"(host pipeline alone: {host_ips:.0f}/s; h2d transfer "
-        f"{h2d * 1e3:.0f} ms/batch = {mbps:.0f} MB/s -> "
-        f"{bs / h2d:.0f} imgs/s tunnel ceiling)")
+    imgs_r = jnp.asarray(np_b, jnp.bfloat16)
+    t1 = _time.perf_counter()
+    for _ in range(3):
+        out = step(g_params, g_opt, d_params, d_opt, imgs_r, rng)
+    sync(out)
+    step_dt = (_time.perf_counter() - t1) / 3
+    serial_model = bs / (step_dt + h2d)
+    log(f"real-data GAN train end-to-end bs={bs} ({host_path} host path): "
+        f"{e2e_ips:.0f} imgs/s | device step {step_dt * 1e3:.0f} ms + h2d "
+        f"median {h2d * 1e3:.0f} ms/batch ({mbps:.0f} MB/s, "
+        f"spread {min(h2ds) * 1e3:.0f}-{max(h2ds) * 1e3:.0f} ms) -> serial "
+        f"model {serial_model:.0f} imgs/s"
+        f" ({'consistent' if abs(serial_model - e2e_ips) < 0.35 * e2e_ips else 'GAP — investigate'})")
 
 
-_MUSE_BS32_SCRIPT = r'''
-import functools, sys, time
-import numpy as np
-import jax, jax.numpy as jnp, optax
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-sys.path.insert(0, ".")
-from bench import _bench_muse, sync
-from attention_models_tpu.models.muse import MUSE
-from attention_models_tpu.models.text_encoder import tokenize
+def _muse32_case(time_fn) -> dict:
+    """Muse train at bs=32 with remat + bf16 adam moments (VERDICT r3 #5).
+    ONLY ever run via ``--section muse32`` (subprocess): this batch OOMs
+    without the remat+bf16-moment treatment and an execution OOM poisons
+    the process's HBM pool on this tunneled backend (r3 postmortem)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
 
-bs = 32
-muse, _, variables = _bench_muse(8)
-muse = muse.copy(remat=True)
-params = variables["params"]
-labels = {k: jax.tree.map(
-    lambda _: "z" if k in ("vq", "text_encoder") else "t", v)
-    for k, v in params.items()}
-# bf16 adam moments on the trained tree: halves optimizer HBM (the r3
-# OOM was adam moments + activations)
-tx = optax.multi_transform(
-    {"t": optax.adam(1e-4, mu_dtype=jnp.bfloat16), "z": optax.set_to_zero()},
-    labels)
-opt = tx.init(params)
+    from attention_models_tpu.models.muse import MUSE
+    from attention_models_tpu.models.text_encoder import tokenize
 
-@jax.jit
-def step(params, opt, ids, indices, rng):
-    def loss_fn(p):
-        return muse.apply({"params": p}, ids, indices, rng,
-                          method=MUSE.loss_from_indices)
-    loss, grads = jax.value_and_grad(loss_fn)(params)
-    updates, opt2 = tx.update(grads, opt, params)
-    return optax.apply_updates(params, updates), opt2, loss
+    bs = 32
+    muse, _, variables = _bench_muse(8)
+    muse = muse.copy(remat=True)
+    params = variables["params"]
+    labels = {k: jax.tree.map(
+        lambda _: "z" if k in ("vq", "text_encoder") else "t", v)
+        for k, v in params.items()}
+    # bf16 adam moments on the trained tree: halves optimizer HBM (the r3
+    # OOM was adam moments + activations)
+    tx = optax.multi_transform(
+        {"t": optax.adam(1e-4, mu_dtype=jnp.bfloat16),
+         "z": optax.set_to_zero()},
+        labels)
+    opt = tx.init(params)
 
-ids = jnp.array(tokenize(["a stop sign"] * bs))
-indices = jax.random.randint(jax.random.key(3), (bs, 1024), 0, 8192,
-                             jnp.int32)
-out = step(params, opt, ids, indices, jax.random.key(4))
-sync(out)
-t0 = time.perf_counter()
-for _ in range(10):
-    out = step(params, opt, ids, indices, jax.random.key(4))
-sync(out)
-dt = (time.perf_counter() - t0) / 10
-print(f"RESULT {dt * 1e3:.1f} {bs / dt:.1f}", flush=True)
-'''
+    @jax.jit
+    def step(params, opt, ids, indices, rng):
+        def loss_fn(p):
+            return muse.apply({"params": p}, ids, indices, rng,
+                              method=MUSE.loss_from_indices)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt2 = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), opt2, loss
+
+    ids = jnp.array(tokenize(["a stop sign"] * bs))
+    indices = jax.random.randint(jax.random.key(3), (bs, 1024), 0, 8192,
+                                 jnp.int32)
+    dt = time_fn(step, params, opt, ids, indices, jax.random.key(4),
+                 iters=10, warmup=1)
+    return {"name": "muse32", "bs": bs, "ms": round(dt * 1e3, 1),
+            "ips": round(bs / dt, 1), "mfu": None}
 
 
-def _muse_bs32_probe(log, over_budget):
-    """Muse train at bs=32 with remat + bf16 adam moments (VERDICT r3 #5),
-    in a SUBPROCESS: an execution OOM on this tunneled backend poisons the
-    client's HBM pool for the rest of the process (r3 postmortem), so the
-    probe must not share a process with the rest of the bench. Runs LAST."""
+# ---- subprocess-section harness (blast-radius isolation, VERDICT r4 #1) --- #
+
+_RELAY_SKIP = ("Platform 'axon'", "UserWarning", "warnings.warn",
+               "compilation cache")
+
+
+def _section_subprocess(log, over_budget, section: str, bs: int | None = None,
+                        budget_left=None, timeout: int = 1500):
+    """Run ONE bench case in its own process (`bench.py --section NAME`).
+    An OOM there costs exactly that case: the chip is released when the
+    child exits (proven by the r4 run, where the post-cascade subprocess
+    probe still measured cleanly). Returns the child's RESULT dict or
+    None. Child stderr is relayed (minus backend warning noise)."""
+    import os
     import subprocess
     import sys as _sys
 
-    if over_budget("muse bs=32 probe"):
-        return
-    r = subprocess.run(
-        [_sys.executable, "-u", "-c", _MUSE_BS32_SCRIPT],
-        capture_output=True, text=True, timeout=1200, cwd="/root/repo",
-    )
-    for line in r.stdout.splitlines():
-        if line.startswith("RESULT"):
-            _, ms, sps = line.split()
-            log(f"muse train bs=32 (+remat, bf16 adam moments): {ms} ms "
-                f"({sps} samples/s)")
-            return
-    tail = (r.stderr or r.stdout).strip()[-200:]
-    log(f"muse bs=32 probe: did not complete (rc={r.returncode}; {tail})")
+    label = section if bs is None else f"{section} bs={bs}"
+    if over_budget(f"{label} (subprocess)"):
+        return None
+    here = os.path.dirname(os.path.abspath(__file__))
+    cmd = [_sys.executable, "-u", os.path.join(here, "bench.py"),
+           "--section", section]
+    if bs is not None:
+        cmd += ["--bs", str(bs)]
+    env = dict(os.environ)
+    if budget_left is not None:
+        env["BENCH_BUDGET_S"] = str(max(60.0, budget_left()))
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout, cwd=here, env=env)
+    except subprocess.TimeoutExpired:
+        log(f"{label}: subprocess timed out after {timeout}s")
+        return None
+    for line in (r.stderr or "").splitlines():
+        if line.strip() and not any(s in line for s in _RELAY_SKIP):
+            log(f"  [{section}] {line}")
+    result = None
+    for line in (r.stdout or "").splitlines():
+        if line.startswith("RESULT "):
+            try:
+                result = json.loads(line[len("RESULT "):])
+            except json.JSONDecodeError:
+                pass
+    if r.returncode != 0:
+        tail = (r.stderr or r.stdout or "").strip()[-200:]
+        log(f"{label}: subprocess failed rc={r.returncode}; {tail}")
+    return result
+
+
+def _child_main(section: str, bs: int | None):
+    """`bench.py --section NAME [--bs N]`: one isolated case. Human lines
+    go to stderr; a machine `RESULT {json}` line goes to stdout."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import os
+
+    t0 = time.perf_counter()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1500))
+
+    def over_budget(name: str) -> bool:
+        if time.perf_counter() - t0 > budget_s:
+            log(f"child skipping {name}: over budget ({budget_s:.0f}s)")
+            return True
+        return False
+
+    if section in ("vit", "vit_moe_dense", "vit_moe_scatter"):
+        r = _vit_case(section, bs or 64)
+    elif section == "muse32":
+        r = _muse32_case(time_fn)
+    elif section == "flash":
+        _flash_longcontext_bench(log, time_fn, over_budget)
+        r = {"name": "flash", "ok": True}
+    else:
+        raise SystemExit(f"unknown --section {section}")
+    print("RESULT " + json.dumps(r), flush=True)
 
 
 def _probe_devices(timeout_s: int = 240) -> str | None:
@@ -828,6 +914,7 @@ def main():
     best = 0.0
     best_bs = 0
     best_mfu = 0.0
+    best_method = "per_dispatch"
     for bs in (16, 64):
         try:
             imgs = jnp.array(
@@ -878,6 +965,7 @@ def main():
         if ips > best:
             best = ips
             best_mfu = fl / dt / PEAK_BF16 if fl else best_mfu
+            best_method = "chained_scan"
     except Exception as e:
         log(f"chained recon failed: {type(e).__name__}: {str(e)[:120]}")
 
@@ -891,6 +979,11 @@ def main():
         "vs_baseline": round(best / 250.0, 3),
         "batch_size": best_bs,
         "mfu_bf16": round(best_mfu, 3),
+        # which methodology produced `value` (ADVICE r4): "chained_scan" =
+        # device steady-state (scan-chained, excludes the tunnel's per-call
+        # dispatch artifact); "per_dispatch" = wall time per jitted call
+        # (the r1-r3 methodology and the 250/chip baseline's basis)
+        "method": best_method,
     }), flush=True)
     section_done("recon headline")
 
@@ -939,14 +1032,8 @@ def main():
     except Exception as e:
         log(f"muse train step bench failed: {type(e).__name__}: {e}")
 
-    try:
-        _reclaim()
-        if not over_budget("vit/vit_moe train bench"):
-            _vit_train_bench(log, time_fn, over_budget)
-            section_done("vit + vit_moe train")
-    except Exception as e:
-        log(f"vit train bench failed: {type(e).__name__}: {e}")
-
+    # decode latency runs BEFORE any OOM-capable probe (it was an innocent
+    # casualty of the r4 vit_moe cascade)
     try:
         _reclaim()
         if not over_budget("decode latency bench"):
@@ -957,17 +1044,52 @@ def main():
 
     try:
         _reclaim()
-        if not over_budget("flash long-context bench"):
-            _flash_longcontext_bench(log, time_fn, over_budget)
-            section_done("flash long-context")
+        if not over_budget("vit train bench"):
+            _vit_train_bench(log, time_fn, over_budget)
+            section_done("vit train")
     except Exception as e:
-        log(f"flash long-context bench failed: {type(e).__name__}: {e}")
+        log(f"vit train bench failed: {type(e).__name__}: {e}")
 
-    # LAST: the bs=32 probe runs in its own subprocess (an OOM there cannot
-    # poison this process's sections — they are already done)
+    # ---- OOM-capable probes: one case per subprocess, safest first ------- #
+    def budget_left():
+        return budget_s - elapsed()
+
     try:
-        _muse_bs32_probe(log, over_budget)
-        section_done("muse bs=32 probe")
+        moe_best = {}
+        for kind in ("vit_moe_scatter", "vit_moe_dense"):
+            for bs in (64, 256):
+                r = _section_subprocess(log, over_budget, kind, bs=bs,
+                                        budget_left=budget_left)
+                if r and r.get("ips"):
+                    mfu = f" | {100 * r['mfu']:.0f}% MFU" if r["mfu"] else ""
+                    log(f"{kind} train step bs={bs}: {r['ms']} ms "
+                        f"({r['ips']:.0f} imgs/s){mfu}")
+                    moe_best[kind] = max(moe_best.get(kind, 0.0), r["ips"])
+                else:
+                    break  # larger batches of the same kind will also fail
+        if len(moe_best) == 2:
+            d, s = moe_best["vit_moe_dense"], moe_best["vit_moe_scatter"]
+            log(f"vit_moe dispatch winner at 32 experts/top-2: "
+                f"{'dense' if d >= s else 'scatter'} "
+                f"({max(d, s) / max(min(d, s), 1e-9):.2f}x)")
+        section_done("vit_moe dispatch A/B (subprocess)")
+    except Exception as e:
+        log(f"vit_moe subprocess bench failed: {type(e).__name__}: {e}")
+
+    try:
+        _section_subprocess(log, over_budget, "flash",
+                            budget_left=budget_left)
+        section_done("flash long-context (subprocess)")
+    except Exception as e:
+        log(f"flash subprocess bench failed: {type(e).__name__}: {e}")
+
+    try:
+        r = _section_subprocess(log, over_budget, "muse32",
+                                budget_left=budget_left)
+        if r and r.get("ips"):
+            log(f"muse train bs=32 (+remat, bf16 adam moments): {r['ms']} ms "
+                f"({r['ips']:.1f} samples/s)")
+        section_done("muse bs=32 probe (subprocess)")
     except Exception as e:
         log(f"muse bs=32 probe failed: {type(e).__name__}: {e}")
 
@@ -976,4 +1098,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--section" in sys.argv:
+        i = sys.argv.index("--section")
+        _bs = (int(sys.argv[sys.argv.index("--bs") + 1])
+               if "--bs" in sys.argv else None)
+        _child_main(sys.argv[i + 1], _bs)
+    else:
+        main()

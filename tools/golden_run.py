@@ -144,6 +144,16 @@ def _trained_diagnostic(path) -> dict:
     }
 
 
+def _safe_trained_diagnostic(path) -> dict:
+    """The diagnostic is advisory — a checkpoint that torch can't load with
+    weights_only=True (or with odd key layouts) must not sink the section's
+    already-computed recon/bit-match metrics (ADVICE r4)."""
+    try:
+        return _trained_diagnostic(path)
+    except Exception as e:  # noqa: BLE001 — advisory only
+        return {"error": f"{type(e).__name__}: {e}"}
+
+
 def section_vitvqgan(path, imgs, ref_path, lpips_params):
     import jax
     import jax.numpy as jnp
@@ -168,7 +178,7 @@ def section_vitvqgan(path, imgs, ref_path, lpips_params):
         "psnr_recon_db": round(float(jnp.mean(psnr(
             jnp.clip(jnp.asarray(rec), 0, 1), jnp.asarray(imgs)))), 3),
         "unique_codes": int(len(np.unique(indices))),
-        "weights_diagnostic": _trained_diagnostic(path),
+        "weights_diagnostic": _safe_trained_diagnostic(path),
     }
     if lpips_params is not None:
         from attention_models_tpu.training.losses import LPIPS
