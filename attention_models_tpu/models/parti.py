@@ -359,6 +359,7 @@ def parti_generate(
     approx_topk: bool = True,
     guidance_scale: float = 0.0,
     temperature: float = 1.0,
+    axon_workaround: bool = False,
 ) -> jnp.ndarray:
     """AR generation with a KV cache: one jitted lax.fori_loop over
     num_patches single-token decoder steps, then VQ decode. The jitted
@@ -372,6 +373,23 @@ def parti_generate(
     exactly the conditional stream (reduces to the unguided decode).
 
     ``temperature`` scales the gumbel noise (the reference hardcodes tau=1,
-    parti.py:149); ``0.0`` switches to deterministic argmax decode."""
+    parti.py:149); ``0.0`` switches to deterministic argmax decode.
+
+    ``axon_workaround=True`` mitigates the tunneled-axon backend defect
+    where EVEN batch rows of a long cached-decode ``fori_loop`` corrupt
+    (tools/axon_decode_repro.py is the pinned reproducer; docs/ROADMAP.md
+    "Round-4 known issue" has the investigation): requests are re-laid-out
+    at ODD batch positions (dummy rows at evens, validated clean in r4),
+    the 2x-batch loop runs, and the real rows are sliced back out. Costs
+    2x decode compute; identical results to the plain path on healthy
+    backends (tested greedy-exact on the CPU mesh). Off by default — it is
+    a backend mitigation, not model semantics."""
+    if axon_workaround:
+        b, L = text_ids.shape
+        ids2 = jnp.zeros((2 * b, L), text_ids.dtype)
+        ids2 = ids2.at[1::2].set(text_ids)
+        imgs = _parti_run(model, filter_p, approx_topk, guidance_scale,
+                          temperature)(variables, ids2, rng)
+        return imgs[1::2]
     return _parti_run(model, filter_p, approx_topk, guidance_scale,
                       temperature)(variables, text_ids, rng)

@@ -31,6 +31,10 @@ def main():
                     help="W8A8 int8 decode (TPU serving fast path)")
     ap.add_argument("--temperature", type=float, default=1.0,
                     help="gumbel sampling temperature (0 = argmax decode)")
+    ap.add_argument("--axon-workaround", action="store_true",
+                    help="mitigate the tunneled-axon even-batch-row decode "
+                         "corruption (tools/axon_decode_repro.py): requests "
+                         "run at odd batch positions at 2x decode cost")
     args = ap.parse_args()
 
     import jax
@@ -72,7 +76,8 @@ def main():
 
     imgs = parti_generate(model, variables, ids, jax.random.key(2),
                           guidance_scale=args.guidance_scale,
-                          temperature=args.temperature)
+                          temperature=args.temperature,
+                          axon_workaround=args.axon_workaround)
     from PIL import Image
 
     arr = (np.clip(np.asarray(imgs, np.float32)[0], 0, 1) * 255).astype(

@@ -261,6 +261,27 @@ def test_parti_temperature_zero_is_deterministic_argmax():
     assert not np.array_equal(np.asarray(s1), np.asarray(s2))
 
 
+def test_parti_axon_workaround_matches_plain_greedy():
+    """axon_workaround=True (requests re-laid-out at odd batch positions,
+    dummies at evens — the mitigation for the tunneled-axon even-row
+    decode corruption, tools/axon_decode_repro.py) must be semantically
+    invisible on a healthy backend: greedy decode bit-equals the plain
+    path. Dummy rows must not perturb real rows (batch invariance)."""
+    vq_cfg = dict(kind="vitvqgan", **TINY_VQ)
+    m = Parti(dim=32, vq_config=vq_cfg, max_length=8, n_heads=2, d_head=16,
+              depth=1, **TINY_CLIP)
+    ids = jnp.array(tokenize(["x", "y", "z"], max_length=8))
+    imgs = jnp.array(np.random.RandomState(0).rand(3, 3, 16, 16), jnp.float32)
+    params = m.init(jax.random.key(0), ids, imgs, method=Parti.init_all)
+
+    plain = parti_generate(m, params, ids, jax.random.key(1),
+                           temperature=0.0)
+    mitigated = parti_generate(m, params, ids, jax.random.key(1),
+                               temperature=0.0, axon_workaround=True)
+    assert mitigated.shape == plain.shape
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(mitigated))
+
+
 def test_parti_cond_keep_prob_drops_context_in_training():
     """cond_keep_prob < 1 zeroes some samples' text context during training
     (the CFG null stream's training signal, MUSE semantics); deterministic
