@@ -350,6 +350,114 @@ def _parti_run(model: Parti, filter_p: float, approx_topk: bool,
     return run
 
 
+def _parti_run_host(model: Parti, filter_p: float, guidance_scale: float,
+                    temperature: float):
+    """Host-stepped AR decode: the SAME jitted single-token decode-step
+    program as ``_parti_run``'s loop body, dispatched once per token from
+    the host, with filtering/sampling on the host.
+
+    This is the axon-backend mitigation path (tools/axon_decode_repro.py):
+    the defect needs the full model inside one long-running ``fori_loop``
+    — the identical step dispatched per token from the host decodes every
+    batch row correctly (r4+r5 investigation; the r4 odd-batch-position
+    layout trick was INVALIDATED in r5: at the doubled batch the corruption
+    pattern moves and hits the re-laid-out rows too). Costs one tunnel
+    round-trip per token (~1.5 ms) plus a (b, vocab) fp32 logits fetch.
+
+    Greedy (temperature=0) decode bit-matches the device loop: bf16→fp32
+    is monotone and top-p filtering never removes the argmax. Sampled
+    decode draws host-side Gumbel noise from a seed derived from ``rng``
+    (a different stream than the device path's — both are valid samples
+    of the same filtered distribution). CFG logits mix in fp32."""
+    import math as _math
+
+    cfg_on = bool(guidance_scale)
+    greedy = temperature == 0
+    # jitted pieces depend only on the CFG structure (scale mixes on host)
+    key = ("host", id(model), cfg_on)
+    hit = _RUN_CACHE.get(key)
+    if hit is not None:
+        _RUN_CACHE.move_to_end(key)
+        prep, step, embed, decode_imgs = hit[0]
+    else:
+        @jax.jit
+        def prep(variables, text_ids):
+            b = text_ids.shape[0]
+            ctx = model.apply(variables, text_ids,
+                              method=Parti.prepare_context)
+            if cfg_on:
+                ctx = jnp.concatenate([ctx, jnp.zeros_like(ctx)], axis=0)
+            sb = 2 * b if cfg_on else b
+            tok0 = model.apply(variables, sb, method=Parti.start_embed)
+            _, vars0 = model.apply(variables, tok0, ctx,
+                                   method=Parti.decode_step,
+                                   mutable=["cache"])
+            cache = jax.tree.map(jnp.zeros_like, vars0["cache"])
+            pe = model.apply(variables,
+                             method=lambda m: m.pos_enc.pe_table())
+            return ctx, tok0, cache, pe
+
+        @jax.jit
+        def step(variables, tok, ctx, cache):
+            logits, upd = model.apply(
+                {**variables, "cache": cache}, tok, ctx,
+                method=Parti.decode_step, mutable=["cache"])
+            return logits[:, -1, :].astype(jnp.float32), upd["cache"]
+
+        @jax.jit
+        def embed(variables, nxt, pe, i):
+            emb = model.apply(variables, nxt[:, None],
+                              method=lambda m, ix: m.token_emb(ix))
+            pe_i = jax.lax.dynamic_slice_in_dim(pe, i, 1, axis=0)
+            emb = emb + pe_i[None, :, :].astype(emb.dtype)
+            return jnp.concatenate([emb, emb], axis=0) if cfg_on else emb
+
+        @jax.jit
+        def decode_imgs(variables, indices):
+            return model.apply(variables, indices,
+                               method=lambda m, ix: m.vq.decode_indices(ix))
+
+        if len(_RUN_CACHE) >= _RUN_CACHE_MAX:
+            _RUN_CACHE.popitem(last=False)
+        _RUN_CACHE[key] = ((prep, step, embed, decode_imgs), model)
+
+    n = vq_num_patches(model.vq_config)
+
+    def run(variables, text_ids, rng):
+        import numpy as np
+
+        b = text_ids.shape[0]
+        ctx, tok, cache, pe = prep(variables, text_ids)
+        indices = np.zeros((b, n), np.int32)
+        sampler = None
+        if not greedy:
+            seed = np.asarray(jax.random.key_data(rng)).ravel()
+            sampler = np.random.default_rng(
+                [int(x) & 0x7FFFFFFF for x in seed])
+        for i in range(n):
+            last_d, cache = step(variables, tok, ctx, cache)
+            last = np.asarray(last_d)  # (sb, vocab) fp32
+            if cfg_on:
+                cond, null = last[:b], last[b:]
+                last = null + guidance_scale * (cond - null)
+            if greedy:
+                nxt = last.argmax(-1).astype(np.int32)
+            else:
+                # host top-p (keep top ceil((1-p)·C), matching
+                # ops/sampling.filter_logits) + Gumbel sample
+                k = _math.ceil((1 - filter_p) * last.shape[-1])
+                kth = np.partition(last, -k, axis=-1)[:, -k][:, None]
+                filt = np.where(last >= kth, last, -np.inf)
+                g = sampler.gumbel(size=filt.shape)
+                nxt = (filt + temperature * g).argmax(-1).astype(np.int32)
+            indices[:, i] = nxt
+            tok = embed(variables, jnp.asarray(nxt), pe,
+                        jnp.asarray(i, jnp.int32))
+        return decode_imgs(variables, jnp.asarray(indices))
+
+    return run
+
+
 def parti_generate(
     model: Parti,
     variables,
@@ -376,20 +484,19 @@ def parti_generate(
     parti.py:149); ``0.0`` switches to deterministic argmax decode.
 
     ``axon_workaround=True`` mitigates the tunneled-axon backend defect
-    where EVEN batch rows of a long cached-decode ``fori_loop`` corrupt
-    (tools/axon_decode_repro.py is the pinned reproducer; docs/ROADMAP.md
-    "Round-4 known issue" has the investigation): requests are re-laid-out
-    at ODD batch positions (dummy rows at evens, validated clean in r4),
-    the 2x-batch loop runs, and the real rows are sliced back out. Costs
-    2x decode compute; identical results to the plain path on healthy
-    backends (tested greedy-exact on the CPU mesh). Off by default — it is
-    a backend mitigation, not model semantics."""
+    where batch rows of a long cached-decode ``fori_loop`` corrupt
+    position-dependently (tools/axon_decode_repro.py is the pinned
+    reproducer; docs/ROADMAP.md "Round-4 known issue" has the
+    investigation): the decode runs as the SAME jitted single-step program
+    dispatched once per token from the host (``_parti_run_host``), which
+    the reproducer shows decodes EVERY row correctly on the affected
+    backend. (The r4 odd-batch-position layout trick was invalidated in
+    r5 — at the doubled batch the corruption hits the re-laid-out rows
+    too.) Costs one tunnel round-trip per token; greedy decode bit-equals
+    the plain path on healthy backends (tested on the CPU mesh). Off by
+    default — it is a backend mitigation, not model semantics."""
     if axon_workaround:
-        b, L = text_ids.shape
-        ids2 = jnp.zeros((2 * b, L), text_ids.dtype)
-        ids2 = ids2.at[1::2].set(text_ids)
-        imgs = _parti_run(model, filter_p, approx_topk, guidance_scale,
-                          temperature)(variables, ids2, rng)
-        return imgs[1::2]
+        return _parti_run_host(model, filter_p, guidance_scale,
+                               temperature)(variables, text_ids, rng)
     return _parti_run(model, filter_p, approx_topk, guidance_scale,
                       temperature)(variables, text_ids, rng)

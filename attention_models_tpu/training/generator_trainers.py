@@ -591,10 +591,10 @@ class PartiTrainer(_GeneratorTrainer):
                 # even at train loss ~1e-3 — the overfit configs eval greedy
                 temperature=float(
                     self.cfg.training.get("eval_temperature", 1.0)),
-                # tunneled-axon even-batch-row decode corruption mitigation
+                # tunneled-axon batch-position decode corruption mitigation
                 # (tools/axon_decode_repro.py) — opt-in per config, since it
-                # doubles decode cost and is a backend-defect workaround,
-                # not model semantics
+                # host-steps the decode (a tunnel round-trip per token) and
+                # is a backend-defect workaround, not model semantics
                 axon_workaround=bool(
                     self.cfg.training.get("eval_axon_workaround", False)),
             )

@@ -32,9 +32,9 @@ def main():
     ap.add_argument("--temperature", type=float, default=1.0,
                     help="gumbel sampling temperature (0 = argmax decode)")
     ap.add_argument("--axon-workaround", action="store_true",
-                    help="mitigate the tunneled-axon even-batch-row decode "
-                         "corruption (tools/axon_decode_repro.py): requests "
-                         "run at odd batch positions at 2x decode cost")
+                    help="mitigate the tunneled-axon batch-position decode "
+                         "corruption (tools/axon_decode_repro.py): host-"
+                         "stepped decode, one tunnel round-trip per token")
     args = ap.parse_args()
 
     import jax

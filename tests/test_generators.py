@@ -262,11 +262,11 @@ def test_parti_temperature_zero_is_deterministic_argmax():
 
 
 def test_parti_axon_workaround_matches_plain_greedy():
-    """axon_workaround=True (requests re-laid-out at odd batch positions,
-    dummies at evens — the mitigation for the tunneled-axon even-row
-    decode corruption, tools/axon_decode_repro.py) must be semantically
-    invisible on a healthy backend: greedy decode bit-equals the plain
-    path. Dummy rows must not perturb real rows (batch invariance)."""
+    """axon_workaround=True (host-stepped decode — the mitigation for the
+    tunneled-axon batch-position decode corruption,
+    tools/axon_decode_repro.py) must be semantically invisible on a
+    healthy backend: greedy decode bit-equals the plain jitted-loop
+    path."""
     vq_cfg = dict(kind="vitvqgan", **TINY_VQ)
     m = Parti(dim=32, vq_config=vq_cfg, max_length=8, n_heads=2, d_head=16,
               depth=1, **TINY_CLIP)

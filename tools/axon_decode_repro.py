@@ -210,6 +210,10 @@ def main():
                     help="exact mode: .npz path caching the host-stepped "
                          "indices (identical across patch experiments — "
                          "saves ~5 min per run)")
+    ap.add_argument("--workaround", action="store_true",
+                    help="exact mode: run parti_generate with "
+                         "axon_workaround=True (validates the shipped "
+                         "mitigation end-to-end on this backend)")
     ap.add_argument("--json", action="store_true",
                     help="print a one-line JSON verdict on stdout")
     args = ap.parse_args()
@@ -390,7 +394,8 @@ def main():
         for k in range(1, args.repeat + 1):
             imgs = np.asarray(parti_generate(
                 model, variables, jnp.asarray(ids), _jax.random.key(2),
-                temperature=0.0), np.float32)
+                temperature=0.0, axon_workaround=args.workaround),
+                np.float32)
             diffs = np.abs(imgs - host_imgs).reshape(b, -1).max(axis=1)
             bad = [r for r, d in enumerate(diffs) if d > 0.05]
             log(f"exact run {k}: per-row max|Δpix| "
