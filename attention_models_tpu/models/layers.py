@@ -98,6 +98,23 @@ class _GammaParam(nn.Module):
                           jnp.float32)
 
 
+class _LNParams(nn.Module):
+    """Param-only stand-in for LayerNorm: same pytree paths (<name>/gamma,
+    <name>/beta), same inits — lets callers consume the raw affine while
+    checkpoints/converters keep working unchanged (the _DenseKernel
+    pattern)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        gamma = self.param("gamma", nn.initializers.ones, (self.dim,),
+                           jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (self.dim,),
+                          jnp.float32)
+        return gamma, beta
+
+
 class FeedForward(nn.Module):
     """GEGLU FFN: Dense(2·inner, no bias) → GEGLU → GammaLayerNorm(inner) →
     Dense(dim, no bias); inner = int(dim·mult·2/3).

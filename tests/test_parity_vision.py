@@ -183,3 +183,36 @@ def test_vitvqgan_full_parity_released_config():
     np.testing.assert_array_equal(np.asarray(idx), idx_ref.numpy())
     np.testing.assert_allclose(np.asarray(dec), dec_ref.numpy(),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_patch_embed_conv_fast_path_matches_exact():
+    """PatchEmbedding's TPU conv-form fast path (LN1+Linear refolded into a
+    strided conv + window statistics — same parameters, no layout-hostile
+    rearrange) must numerically match the exact unfused formulation. Gate
+    monkeypatched on (the CPU mesh is not a TPU); both paths run bf16 so
+    the only difference is the refold's summation order."""
+    import attention_models_tpu.models.vit as vit_mod
+
+    pe = vit_mod.PatchEmbedding(dim=128, patch_size=8, dtype=jnp.bfloat16)
+    imgs = jnp.array(np.random.RandomState(0).rand(2, 3, 32, 32) * 2 - 1,
+                     jnp.bfloat16)
+    params = pe.init(jax.random.key(0), imgs)
+    # param pytree is the LayerNorm/Dense-compatible one (checkpoints,
+    # converters, TP rules key on these paths)
+    assert set(params["params"].keys()) == {"norm1", "proj", "norm2"}
+    assert set(params["params"]["norm1"].keys()) == {"gamma", "beta"}
+    assert set(params["params"]["proj"].keys()) == {"kernel", "bias"}
+
+    exact = pe.apply(params, imgs)
+
+    orig = vit_mod._patch_embed_fast
+    vit_mod._patch_embed_fast = lambda dtype: True
+    try:
+        fast = pe.apply(params, imgs)
+    finally:
+        vit_mod._patch_embed_fast = orig
+
+    assert fast.shape == exact.shape == (2, 16, 128)
+    np.testing.assert_allclose(np.asarray(fast, np.float32),
+                               np.asarray(exact, np.float32),
+                               atol=0.1, rtol=0.05)
