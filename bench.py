@@ -332,8 +332,13 @@ def _vit_model(kind):
         return ViTMoE(dim=1024, n_experts=32, sel_experts=2,
                       moe_impl="dense", **common)
     if kind == "vit_moe_scatter":
+        # capacity_factor=2.0 is the documented training config
+        # (ops/moe.py:79); the dropless None sizes buckets at N·k per
+        # expert — a 17.4 GB fp32 dispatch buffer at bs=64/32-experts that
+        # OOMs AT COMPILE TIME on one chip (measured r5), so it can never
+        # be the single-chip production point this A/B prices
         return ViTMoE(dim=1024, n_experts=32, sel_experts=2,
-                      moe_impl="scatter", capacity_factor=None, **common)
+                      moe_impl="scatter", capacity_factor=2.0, **common)
     raise ValueError(kind)
 
 
@@ -1056,8 +1061,12 @@ def main():
 
     try:
         moe_best = {}
+        # bs=32 first: the only point where BOTH dispatch variants fit one
+        # chip (dense OOMs from bs=64 up — 805M params + fp32 moments +
+        # the all-expert combine's activations), so the winner always has
+        # a common batch to be priced at
         for kind in ("vit_moe_scatter", "vit_moe_dense"):
-            for bs in (64, 256):
+            for bs in (32, 64, 256):
                 r = _section_subprocess(log, over_budget, kind, bs=bs,
                                         budget_left=budget_left)
                 if r and r.get("ips"):
