@@ -403,29 +403,36 @@ def _flash_longcontext_bench(log, time_fn, over_budget):
     d=64, causal. The O(t) memory claim is witnessed directly: at t=16k a
     materialized (t, t) fp32 score tensor would be b*h*t*t*4 = 8 GiB for
     the forward alone (the XLA fallback path OOMs); the kernel's VMEM
-    footprint is t-independent."""
+    footprint is t-independent.
+
+    Uses the PER-HEAD (b, h, t, d) kernel — the long-context/SP building
+    block ops/ring_attention.py wraps: its per-program k/v residency is
+    t*d (2 MB at t=16k), while the layout-native all-heads kernel
+    (flash_attention_bthd, the model-shaped-t fast path) keeps t*h*d
+    resident and runs out of VMEM past t≈2k at h=8 — by design, that
+    kernel serves t≤1-2k model shapes where the no-transpose layout wins."""
     import jax
     import jax.numpy as jnp
 
-    from attention_models_tpu.ops.flash_attention import flash_attention_bthd
+    from attention_models_tpu.ops.flash_attention import flash_attention
 
     b, h, d = 1, 8, 64
     for t in (4096, 8192, 16384):
         if over_budget(f"flash t={t}"):
             return
         rs = np.random.RandomState(0)
-        q = jnp.asarray(rs.randn(b, t, h, d), jnp.bfloat16)
-        k = jnp.asarray(rs.randn(b, t, h, d), jnp.bfloat16)
-        v = jnp.asarray(rs.randn(b, t, h, d), jnp.bfloat16)
+        q = jnp.asarray(rs.randn(b, h, t, d), jnp.bfloat16)
+        k = jnp.asarray(rs.randn(b, h, t, d), jnp.bfloat16)
+        v = jnp.asarray(rs.randn(b, h, t, d), jnp.bfloat16)
         try:
-            fwd = jax.jit(lambda q, k, v: flash_attention_bthd(
+            fwd = jax.jit(lambda q, k, v: flash_attention(
                 q, k, v, causal=True))
             dt = time_fn(fwd, q, k, v, iters=10)
             fl = compiled_flops(fwd, q, k, v)
             log(f"flash fwd causal t={t}: {dt * 1e3:.2f} ms"
                 f"{mfu_str(fl, dt)}")
 
-            grad = jax.jit(jax.grad(lambda q, k, v: flash_attention_bthd(
+            grad = jax.jit(jax.grad(lambda q, k, v: flash_attention(
                 q, k, v, causal=True).astype(jnp.float32).sum(),
                 argnums=(0, 1, 2)))
             dt = time_fn(grad, q, k, v, iters=5)
@@ -434,6 +441,11 @@ def _flash_longcontext_bench(log, time_fn, over_budget):
                 f"{mfu_str(fl, dt)}")
         except Exception as e:
             log(f"flash t={t}: failed ({type(e).__name__}: {str(e)[:120]})")
+            if t >= 16384:
+                log("  (the dkv backward keeps full q/do VMEM-resident by "
+                    "design; >=16k-token BACKWARD is the ring/SP path's "
+                    "job — ops/ring_attention.py shards t so each chip "
+                    "sees t/sp, exercised by the multichip dryrun)")
             _reclaim()
             return
 
