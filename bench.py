@@ -937,7 +937,12 @@ def main():
             imgs = jnp.array(
                 np.random.RandomState(0).rand(bs, 3, 256, 256), jnp.bfloat16
             )
-            dt = time_fn(recon, params, imgs)
+            # min of two windows: the first timed section after a process
+            # handoff can catch a tunnel device-health transient (r5 saw a
+            # clean 15.7 ms bs=16 window and a 179 ms one back-to-back in
+            # separate runs; min-of-2 keeps the record on the real rate)
+            dt = min(time_fn(recon, params, imgs),
+                     time_fn(recon, params, imgs))
             fl = compiled_flops(recon, params, imgs)
             ips = bs / dt
             log(f"recon bs={bs}: {dt * 1e3:.2f} ms  {ips:.0f} imgs/s"
