@@ -3,7 +3,11 @@
 Symptom (docs/ROADMAP.md "Round-4 known issue"): on the tunneled axon TPU
 backend, a KV-cached autoregressive decode that runs its per-token step
 inside ONE jitted ``lax.fori_loop`` produces garbage for EVEN batch rows
-from step 0, while ODD rows decode ~correctly. The SAME step dispatched
+from step 0, while ODD rows decode ~correctly. (r5 measurements sharpen
+this: the corrupt-row pattern depends on the BATCH SIZE — at 2b the
+formerly-safe odd positions corrupt too — it is nondeterministic across
+executions of the same compiled program, and a 64-step chunked loop
+already fails; only the host-stepped path is reliably clean.) The SAME step dispatched
 once per token from the host (same jitted step function, cache threaded
 through host calls) is correct for every row — as is the whole thing on a
 CPU backend. The capability under test is the reference's AR generate
