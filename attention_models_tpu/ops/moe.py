@@ -54,8 +54,13 @@ def moe_linear_dense(
     (SwitchHead's 5) because it is one big batched matmul with zero data
     movement."""
     combine = _combine_weights(selected, weights, w.shape[0])  # (..., E)
+    # bf16 towers keep bf16 MXU operands (x already carries bf16 rounding —
+    # upcasting buys no fidelity at half the MXU rate, the r2 codebook-dot
+    # lever); fp32 towers keep the exact fp32 path. Accumulation is fp32
+    # either way.
+    op_t = jnp.float32 if x.dtype == jnp.float32 else x.dtype
     y = jnp.einsum(
-        "...d,edh->...eh", x.astype(jnp.float32), w.astype(jnp.float32),
+        "...d,edh->...eh", x.astype(op_t), w.astype(op_t),
         preferred_element_type=jnp.float32,
     )
     if b is not None:
@@ -108,10 +113,17 @@ def moe_linear_scatter(
     # token occupying the last slot).
     buckets = jnp.zeros((e, capacity, d_in), x.dtype)
     tok_ids = jnp.repeat(jnp.arange(n), k)
-    buckets = buckets.at[sel_flat, pos].set(xf[tok_ids], mode="drop")
+    # (sel_flat, pos) pairs are unique by construction (pos is a running
+    # count within each expert) — telling XLA lets it parallelize the
+    # scatter instead of serializing row updates
+    buckets = buckets.at[sel_flat, pos].set(xf[tok_ids], mode="drop",
+                                            unique_indices=True)
 
+    # bf16 towers: bf16 MXU operands, fp32 accumulation (see
+    # moe_linear_dense — the upcast buys no fidelity on bf16-rounded data)
+    op_t = jnp.float32 if x.dtype == jnp.float32 else x.dtype
     y = jnp.einsum(
-        "ecd,edh->ech", buckets.astype(jnp.float32), w.astype(jnp.float32),
+        "ecd,edh->ech", buckets.astype(op_t), w.astype(op_t),
         preferred_element_type=jnp.float32,
     )
     if b is not None:
