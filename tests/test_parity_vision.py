@@ -216,3 +216,34 @@ def test_patch_embed_conv_fast_path_matches_exact():
     np.testing.assert_allclose(np.asarray(fast, np.float32),
                                np.asarray(exact, np.float32),
                                atol=0.1, rtol=0.05)
+
+
+def test_patch_embed_exact_path_bit_identical_to_module_composition():
+    """The r5 PatchEmbedding refactor reads raw params (param-only
+    stand-ins) but its exact path must stay BIT-identical to the original
+    LayerNorm→Dense→LayerNorm module composition in fp32 — the golden
+    bit-match contract rides on it (vitvqgan encode indices)."""
+    from einops import rearrange
+
+    from attention_models_tpu.models.layers import LayerNorm
+    from attention_models_tpu.models.vit import PatchEmbedding
+
+    pe = PatchEmbedding(dim=64, patch_size=4, dtype=jnp.float32)
+    imgs = jnp.array(np.random.RandomState(1).rand(2, 3, 16, 16) * 2 - 1,
+                     jnp.float32)
+    params = pe.init(jax.random.key(3), imgs)
+    got = pe.apply(params, imgs)
+
+    import flax.linen as fnn
+
+    class Original(fnn.Module):
+        @fnn.compact
+        def __call__(self, imgs):
+            x = rearrange(imgs, "b c (h p1) (w p2) -> b (h w) (p1 p2 c)",
+                          p1=4, p2=4)
+            x = LayerNorm(x.shape[-1], dtype=jnp.float32, name="norm1")(x)
+            x = fnn.Dense(64, dtype=jnp.float32, name="proj")(x)
+            return LayerNorm(64, dtype=jnp.float32, name="norm2")(x)
+
+    want = Original().apply(params, imgs)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
